@@ -1,0 +1,31 @@
+"""phnrec_tpu — a TPU-native phoneme recognition framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the BUT PhnRec phoneme recognizer
+(reference: /root/reference, C++). The numeric pipeline
+
+    waveform -> log mel-filterbank energies -> split-temporal-context (LCRC)
+    feature assembly -> band MLPs + merger MLP -> per-frame phoneme-state
+    posteriors -> phoneme-loop Viterbi -> time-stamped phoneme labels
+
+is implemented as pure functions over [B, T, ...] tensors compiled with jit,
+batched across utterances, and sharded data-parallel over a device mesh.
+Model packages (config + dicts + weights + windows) shipped with the
+reference load unchanged.
+
+Layer map (mirrors SURVEY.md section 1):
+  config.py              typed INI config        (ref configz.{cpp,h}, srec.cpp:34-110)
+  io/                    HTK/label/weights I/O   (ref matrix.h, nn.cpp, traps.cpp)
+  frontend/              mel-bank + PLP frontend (ref melbanks.cpp, dspc.cpp, plp.cpp)
+  posteriors/            STC assembly + MLPs     (ref traps.cpp, nn.cpp, fexp.h)
+  decoder/               Viterbi decoders        (ref phndec.cpp, stkinterface.cpp)
+  pipeline.py            orchestration           (ref srec.cpp)
+  parallel/              mesh/data-parallel runs (new; no reference analogue)
+  cli.py                 phnrec CLI              (ref phnrec.cpp)
+"""
+
+__version__ = "0.1.0"
+
+from phnrec_tpu.config import PhnRecConfig
+from phnrec_tpu.pipeline import SpeechRec
+
+__all__ = ["PhnRecConfig", "SpeechRec", "__version__"]
