@@ -1,0 +1,142 @@
+"""Phoneme-loop Viterbi decoder as a vectorized lattice scan.
+
+Reference: PhnDec (phndec.cpp) — a streaming Viterbi over a loop of
+left-to-right phoneme HMMs with S states each (shipped configs: 3),
+self-loop/advance log-probs both log(0.5) (phndec.cpp:9), word-insertion
+penalty on loop re-entry, and — a reference quirk kept for parity — the
+insertion penalty already applied at t=0 (phndec.cpp:81-88).
+
+TPU-first redesign: the per-phoneme C loops become [P, S] tensor ops inside
+one `lax.scan` over frames.  The scan carries (alphas, prev_phn, phn_len)
+and emits one history record per frame — exactly what PropagateInNetwork
+pushes into its ring buffer (phndec.cpp:136): the winning exit token's
+(predecessor phoneme, length, score) plus the argmax phoneme itself.  The
+fixed-lag ring buffer (TimePruning, phndec.cpp:191-234) exists only to
+bound latency/memory in the streaming C++; emitted segments equal a full
+backtrack whenever the lag exceeds segment settling time, and `Done`
+(phndec.cpp:236-302) is literally a history replay — so batch decode keeps
+the whole [T] history and backtracks once on the host.
+
+Tie-breaking parity:
+  * within-model: `tok_cur > tok_prev` strictly — ties go to the advancing
+    token (phndec.cpp:106),
+  * loop argmax: first index wins ties (`tok > max`, phndec.cpp:129) —
+    matches jnp.argmax.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phnrec_tpu.io.labels import Label
+
+LOG_0_5 = np.float32(-0.69314718055994530941723212145818)
+NEG_INF = np.float32(-np.finfo(np.float32).max)  # -FLT_MAX, phndec.cpp:63
+
+
+class PhnLoopSpec(NamedTuple):
+    n_phonemes: int
+    n_states: int            # states per phoneme (decoder/num_states_per_phn)
+    w_penalty: float
+    log_tr_curr: float = float(LOG_0_5)
+    log_tr_next: float = float(LOG_0_5)
+
+
+class History(NamedTuple):
+    """Per-frame loop-node records; arrays of shape [T]."""
+
+    max_phn: jnp.ndarray    # argmax exit phoneme this frame
+    prev_phn: jnp.ndarray   # its predecessor phoneme (-1 at start)
+    length: jnp.ndarray     # its current duration in frames
+    alpha: jnp.ndarray      # winning exit score
+
+
+@partial(jax.jit, static_argnums=0)
+def viterbi_scan(spec: PhnLoopSpec, log_post: jnp.ndarray) -> History:
+    """[T, >=P*S] log posteriors -> per-frame history records.
+
+    PDF layout: phoneme p state s (0-based) reads log_post[:, p*S + s]
+    (CreatePdfIndexes, phndec.cpp:352-368).
+    """
+    P, S = spec.n_phonemes, spec.n_states
+    w_pen = jnp.float32(spec.w_penalty)
+    tr_curr = jnp.float32(spec.log_tr_curr)
+    tr_next = jnp.float32(spec.log_tr_next)
+
+    obs = log_post[:, : P * S].reshape(-1, P, S)
+
+    # carry: alphas [P, S+1] (col 0 = loop entry), prev_phn, phn_len
+    alphas0 = jnp.full((P, S + 1), NEG_INF, jnp.float32).at[:, 0].set(w_pen)
+    prev0 = jnp.full((P, S + 1), -1, jnp.int32)
+    len0 = jnp.zeros((P, S + 1), jnp.int32)
+
+    def step(carry, obs_t):
+        alphas, prev_phn, phn_len = carry
+
+        # PropagateInModels (phndec.cpp:96-119): states update high-to-low,
+        # each reading the PREVIOUS frame's value of state j-1 — equivalent
+        # to updating all states simultaneously from the old carry.
+        tok_cur = alphas[:, 1:] + tr_curr          # self-loop
+        tok_prev = alphas[:, :-1] + tr_next        # advance from j-1
+        take_cur = tok_cur > tok_prev
+        new_a = jnp.where(take_cur, tok_cur, tok_prev) + obs_t
+        new_prev = jnp.where(take_cur, prev_phn[:, 1:], prev_phn[:, :-1])
+        new_len = jnp.where(take_cur, phn_len[:, 1:] + 1, phn_len[:, :-1] + 1)
+
+        # PropagateInNetwork (phndec.cpp:121-144)
+        exit_a = new_a[:, -1]
+        maxi = jnp.argmax(exit_a)
+        max_a = exit_a[maxi]
+        rec = (maxi.astype(jnp.int32), new_prev[maxi, -1], new_len[maxi, -1],
+               max_a)
+
+        alphas = jnp.concatenate(
+            [jnp.full((P, 1), max_a + w_pen), new_a], axis=1)
+        prev_phn = jnp.concatenate(
+            [jnp.full((P, 1), maxi, jnp.int32), new_prev], axis=1)
+        phn_len = jnp.concatenate(
+            [jnp.zeros((P, 1), jnp.int32), new_len], axis=1)
+        return (alphas, prev_phn, phn_len), rec
+
+    _, (max_phn, prev_phn, length, alpha) = jax.lax.scan(
+        step, (alphas0, prev0, len0), obs)
+    return History(max_phn, prev_phn, length, alpha)
+
+
+def backtrack(hist: History, phonemes: List[str]) -> List[Label]:
+    """Full-history replay of PhnDec::Done (phndec.cpp:236-302).
+
+    Segment likes are alpha deltas between consecutive phoneme ends
+    (initial mPrevAlpha = 0, phndec.cpp:91).
+    """
+    max_phn = np.asarray(hist.max_phn)
+    prev_phn = np.asarray(hist.prev_phn)
+    length = np.asarray(hist.length)
+    alpha = np.asarray(hist.alpha)
+    T = max_phn.shape[0]
+    if T == 0:
+        return []
+
+    labels: List[Label] = []
+    end = T
+    phn = int(max_phn[T - 1])   # mPrevPhn.get(0, 0) after the last frame
+    while end > 0 and phn != -1:
+        seg_len = int(length[end - 1])
+        start = end - seg_len
+        prev_alpha = float(alpha[start - 1]) if start > 0 else 0.0
+        like = float(alpha[end - 1]) - prev_alpha
+        labels.append(Label(start, end, phonemes[phn], like))
+        phn = int(prev_phn[end - 1])
+        end = start
+    labels.reverse()
+    return labels
+
+
+def decode(spec: PhnLoopSpec, log_post: jnp.ndarray,
+           phonemes: List[str]) -> List[Label]:
+    return backtrack(viterbi_scan(spec, log_post), phonemes)
