@@ -1,0 +1,83 @@
+"""phnrec-compatible command-line interface (reference: phnrec.cpp).
+
+Same flags:
+    -c dir   configuration (model package) directory
+    -l file  list of files     -i file  input file    -o file  output file
+    -m file  output MLF        -a       live audio input
+    -s fmt   source format (wf|par|post)   [wf]
+    -t fmt   target format (par|post|str)  [str]
+    -w fmt   waveform format (lin16|alaw) override
+    -f fmt   live output format (str|strlen|lab)  [str]
+    -p num   phoneme insertion penalty override
+    -v       verbose
+
+Extra (new framework):
+    --exact-exp   use hardware exp instead of the reference's fast-exp
+                  bit-parity emulation
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    exact_exp = "--exact-exp" in argv
+    if exact_exp:
+        argv.remove("--exact-exp")
+
+    try:
+        opts, _ = getopt.getopt(argv, "c:l:i:o:m:as:t:w:f:p:vh")
+    except getopt.GetoptError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    opt = dict(opts)
+    if not opts or "-h" in opt:
+        print(__doc__)
+        return 1
+
+    config_dir = opt.get("-c")
+    if not config_dir:
+        print("ERROR: Configuration directory is not specified (-c)",
+              file=sys.stderr)
+        return 1
+    inpf = opt.get("-s", "wf")
+    outpf = opt.get("-t", "str")
+    verbose = "-v" in opt
+
+    from phnrec_tpu.pipeline import SpeechRec
+
+    log_fn = (lambda m: print(m, end="")) if verbose else None
+    sr = SpeechRec(config_dir, fast_exp=not exact_exp, log_fn=log_fn)
+    if "-w" in opt:
+        sr.wave_format = opt["-w"]
+    if "-p" in opt:
+        sr.set_wpenalty(float(opt["-p"]))
+
+    if "-a" in opt:
+        from phnrec_tpu.live import run_live
+        run_live(sr, out_format=opt.get("-f", "str"))
+        return 0
+
+    if "-l" in opt:
+        sr.process_file_list(inpf, outpf, opt["-l"], opt.get("-m"))
+        return 0
+
+    if "-i" in opt:
+        if "-m" in opt:
+            from phnrec_tpu.io.labels import MLFWriter
+            target = sr.compose_target_name(opt["-i"], outpf, for_mlf=True)
+            with MLFWriter(opt["-m"]) as mlf:
+                sr.process_file(inpf, outpf, opt["-i"], target, mlf)
+        else:
+            sr.process_file(inpf, outpf, opt["-i"], opt.get("-o"))
+        return 0
+
+    print("ERROR: no input (-i, -l or -a)", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,5 +1,258 @@
-"""Pipeline orchestration (placeholder; filled in after core layers)."""
+"""Pipeline orchestration: the TPU-native SpeechRec.
+
+Reference: srec.{cpp,h} — the integration class that owns config, frontend,
+posterior estimator and decoder, and routes data between pipeline stages.
+Stages and their staged-I/O entry/exit points (srec.cpp:929-1111):
+
+    wf ----> par ----> post ----> str
+    raw      HTK       HTK        .rec / MLF
+    audio    features  posteriors
+
+Unlike the reference's frame-at-a-time streaming objects, every stage here
+is a pure function over whole-utterance [T, D] tensors; the jitted core
+(params -> posteriors) is shared by all entry points.  Streaming/live mode
+chunks the same functions with carried state (see streaming.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from phnrec_tpu import normalization, softening
+from phnrec_tpu.config import PhnRecConfig
+from phnrec_tpu.decoder.phnloop import PhnLoopSpec, backtrack, viterbi_scan
+from phnrec_tpu.frontend import melbanks
+from phnrec_tpu.io import audio, htk
+from phnrec_tpu.io.labels import Label, MLFWriter, format_rec_line
+from phnrec_tpu.io.weights import load_phoneme_list
+from phnrec_tpu.posteriors.estimator import LCRCEstimator
+from phnrec_tpu.utils.filename import change_file_path, change_file_suffix
+
+# data_format stage ordering (srec.h: dfWaveform < dfParams < dfPosteriors
+# < dfStrings)
+STAGES = ("wf", "par", "post", "str")
 
 
-class SpeechRec:  # pragma: no cover - stub
-    pass
+def _stage_index(name: str) -> int:
+    if name not in STAGES:
+        raise ValueError(
+            f"Invalid data format {name!r}. Supported data formats are "
+            "'wf', 'par', 'post' and 'str'.")
+    return STAGES.index(name)
+
+
+@dataclass
+class DecodeResult:
+    labels: List[Label]
+
+    def rec_lines(self, mlf_style: bool = False) -> List[str]:
+        return [format_rec_line(l, mlf_style) for l in self.labels]
+
+
+class SpeechRec:
+    """Loads a model package and processes files/lists at any stage pair."""
+
+    def __init__(self, config_dir: str, fast_exp: bool = True,
+                 log_fn=None):
+        self.config_dir = config_dir
+        self.cfg = cfg = PhnRecConfig.load_package(config_dir)
+        self.log_fn = log_fn or (lambda msg: None)
+
+        # -- frontend (srec.cpp:545-590)
+        kind = cfg.get_str("params", "kind")
+        if kind not in ("fbanks",):
+            if kind == "plp":
+                from phnrec_tpu.frontend.plp import PLPFrontend
+                self.frontend = PLPFrontend(melbanks.spec_from_config(cfg), cfg)
+            else:
+                raise ValueError(f"unknown params/kind {kind!r}")
+        else:
+            self.frontend = melbanks.MelFrontend(melbanks.spec_from_config(cfg))
+        self.wave_format = cfg.get_str("source", "format")
+        if self.wave_format not in ("lin16", "alaw"):
+            raise ValueError(
+                f"Invalid waveform format {self.wave_format!r}. Supported "
+                "data formats are 'lin16' and 'alaw'.")
+        self.wave_scale = cfg.get_float("source", "scale")
+        self.wave_dc_shift = cfg.get_float("source", "dc_shift")
+        self.wave_noise = cfg.get_float("source", "noise_level")
+
+        # -- normalization
+        self.frame_shift = cfg.get_float("framenorm", "shift")
+        self.frame_floor = cfg.get_float("framenorm", "min_floor")
+        self.sent_norm = normalization.spec_from_config(cfg)
+
+        # -- posterior estimator (srec.cpp:603-624)
+        self.traps_enabled = cfg.get_bool("posteriors", "enabled")
+        self.estimator: Optional[LCRCEstimator] = None
+        if self.traps_enabled:
+            system = cfg.get_str("posteriors", "system")
+            if system != "LCRC":
+                raise NotImplementedError(
+                    f"posterior system {system!r} not implemented yet "
+                    "(shipped packages are all LCRC)")
+            self.estimator = LCRCEstimator(
+                config_dir,
+                nbanks=cfg.get_int("melbanks", "nbanks"),
+                trap_len=cfg.get_int("posteriors", "length"),
+                add_c0=cfg.get_bool("posteriors", "add_c0"),
+                fast_exp=fast_exp,
+            )
+
+        # -- softening (srec.cpp:667-671)
+        self.post_soft = softening.softening_fn(
+            softening.parse_softening(
+                cfg.get_str("posteriors", "softening_func")))
+        self.dec_soft = softening.softening_fn(
+            softening.parse_softening(cfg.get_str("decoder",
+                                                  "softening_func")))
+
+        # -- decoder (srec.cpp:627-665)
+        self.decoder_type = cfg.get_str("decoder", "type")
+        self.phonemes = load_phoneme_list(
+            cfg.get_str("dicts", "phoneme_list"))
+        self.wpenalty = cfg.get_float("decoder", "wpenalty")
+        self.loop_spec = PhnLoopSpec(
+            n_phonemes=len(self.phonemes),
+            n_states=cfg.get_int("decoder", "num_states_per_phn"),
+            w_penalty=self.wpenalty,
+        )
+        self.stk_decoder = None
+        if self.decoder_type == "stkint":
+            from phnrec_tpu.decoder.stknet import StkNetworkDecoder
+            self.stk_decoder = StkNetworkDecoder.from_config(self, cfg)
+
+    def set_wpenalty(self, wpenalty: float) -> None:
+        """CLI -p override (phnrec.cpp:212-221)."""
+        self.wpenalty = wpenalty
+        self.loop_spec = self.loop_spec._replace(w_penalty=wpenalty)
+        if self.stk_decoder is not None:
+            self.stk_decoder.set_wpenalty(wpenalty)
+
+    # ------------------------------------------------------------------
+    # stage functions
+    # ------------------------------------------------------------------
+    def params_from_waveform(self, raw: bytes) -> np.ndarray:
+        """wf -> par: [T, nbanks] log mel (frame-normalized, NOT
+        sentence-normalized — matching ProcessOffline, where sentence norm
+        runs at the par->post boundary, srec.cpp:977-1000)."""
+        wave, _ = audio.convert_waveform(
+            raw, self.wave_format, scale=self.wave_scale,
+            dc_shift=self.wave_dc_shift, noise_level=self.wave_noise)
+        T = self.frontend.frame_count(len(wave))
+        par = self.frontend(jnp.asarray(wave), T)
+        par = normalization.frame_norm(par, self.frame_shift,
+                                       self.frame_floor)
+        return np.asarray(par)
+
+    def posteriors_from_params(self, par: np.ndarray) -> np.ndarray:
+        """par -> post, including sentence normalization and the
+        posteriors-stage softening function."""
+        if self.estimator is None:
+            raise RuntimeError(
+                "The 'traps' module have to be enabled for generating "
+                "posteriors")
+        n_p = self.frontend.spec.nbanks
+        if par.shape[1] < n_p:
+            raise ValueError("Invalid dimensionality of parameter vectors")
+        par = par[:, :n_p]  # truncate extra columns (srec.cpp:988-997)
+        sentence = normalization.sentence_norm(jnp.asarray(par),
+                                               self.sent_norm)
+        post = self.estimator.posteriors(sentence)
+        return np.asarray(self.post_soft(post))
+
+    def decode_posteriors(self, post: np.ndarray) -> DecodeResult:
+        """post -> str via the decoder softening + Viterbi."""
+        lp = self.dec_soft(jnp.asarray(post))
+        if self.stk_decoder is not None:
+            return DecodeResult(self.stk_decoder.decode(lp))
+        hist = viterbi_scan(self.loop_spec, lp)
+        return DecodeResult(backtrack(hist, self.phonemes))
+
+    # ------------------------------------------------------------------
+    # staged file processing (ProcessFile, srec.cpp:1113-1199)
+    # ------------------------------------------------------------------
+    def process_offline(self, inpf: str, outpf: str, data):
+        """Run stages inpf -> outpf; data is bytes (wf) or ndarray."""
+        i, o = _stage_index(inpf), _stage_index(outpf)
+        if i >= o:
+            raise ValueError("output format must be later than input")
+        if inpf == "wf":
+            data = self.params_from_waveform(data)
+            if outpf == "par":
+                return data
+        if o >= 2 and i <= 1:
+            if not self.traps_enabled and outpf == "post":
+                raise RuntimeError(
+                    "The 'traps' module have to be enabled for generating "
+                    "posteriors")
+            if self.traps_enabled:
+                data = self.posteriors_from_params(data)
+            if outpf == "post":
+                return data
+        return self.decode_posteriors(data)
+
+    def process_file(self, inpf: str, outpf: str, source: str,
+                     target: Optional[str] = None,
+                     mlf: Optional[MLFWriter] = None):
+        self.log_fn(f"{source} -> {target}\n" if target else f"{source}\n")
+        if inpf == "wf":
+            data = audio.load_waveform_bytes(source)
+        else:
+            data, _, _ = htk.read_htk(source)
+        result = self.process_offline(inpf, outpf, data)
+        if outpf in ("par", "post"):
+            if target is None:
+                raise ValueError("par/post output requires a target file")
+            htk.write_htk(target, result)
+        else:
+            if mlf is not None:
+                mlf.add(target, result.labels)
+            elif target is not None:
+                with open(target, "w") as f:
+                    for line in result.rec_lines():
+                        f.write(line + "\n")
+        return result
+
+    def compose_target_name(self, source: str, outpf: str,
+                            for_mlf: bool) -> str:
+        """Target name from a one-column list line (srec.cpp:1216-1236).
+
+        NOTE: for post targets the reference reads the unregistered
+        "traps/suffix" entry and aborts (srec.cpp:1224, a latent bug);
+        we use the registered posteriors/suffix instead.
+        """
+        cfg = self.cfg
+        if outpf == "par":
+            return change_file_suffix(source, cfg.get_str("params", "suffix"))
+        if outpf == "post":
+            return change_file_suffix(source,
+                                      cfg.get_str("posteriors", "suffix"))
+        if outpf == "str":
+            name = change_file_suffix(source, cfg.get_str("labels", "suffix"))
+            if for_mlf and cfg.get_bool("labels", "remove_path"):
+                name = change_file_path(name, "*")
+            return name
+        raise ValueError(outpf)
+
+    def process_file_list(self, inpf: str, outpf: str, list_path: str,
+                          mlf_path: Optional[str] = None) -> None:
+        mlf = MLFWriter(mlf_path) if mlf_path else None
+        try:
+            with open(list_path) as f:
+                for raw in f:
+                    parts = raw.split()
+                    if not parts:
+                        continue
+                    source = parts[0]
+                    target = (parts[1] if len(parts) > 1 else
+                              self.compose_target_name(
+                                  source, outpf, for_mlf=mlf is not None))
+                    self.process_file(inpf, outpf, source, target, mlf)
+        finally:
+            if mlf:
+                mlf.close()
