@@ -1,0 +1,67 @@
+"""End-to-end throughput benchmark: audio-seconds decoded per second per chip.
+
+Pipeline measured: padded waveform batch -> mel -> sentence norm -> LCRC ->
+3 MLPs -> log -> Viterbi scan (device) + history backtrack (host), on the
+flagship CZ SpeechDat LCRC_N1500 package (15 banks @ 8 kHz, 165->1500->138
+band nets, 276->1500->138 merger, 46-phoneme loop x 3 states).
+
+Baseline: the reference C++ phnrec (PHNREC_ONLY -O2 build, tools/
+build_oracle.sh) decodes the same utterance at ~8.5 audio-sec/s on this
+machine's CPU (single core, measured 2026-08-17; no published reference
+numbers exist — SURVEY.md section 6).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_S = 8.54  # reference C++ on this host, see docstring
+
+CZ_PKG = "/root/reference/PHN_CZ_SPDAT_LCRC_N1500"
+TEST_RAW = "/root/reference/test.raw"
+
+
+def main() -> None:
+    import jax
+
+    from phnrec_tpu.io.audio import convert_waveform
+    from phnrec_tpu.parallel.batch import BatchPipeline
+    from phnrec_tpu.pipeline import SpeechRec
+
+    batch = 128
+    sr = SpeechRec(CZ_PKG)
+    bp = BatchPipeline(sr)
+
+    raw = open(TEST_RAW, "rb").read()
+    wave, _ = convert_waveform(raw, "lin16")
+    audio_seconds_per_utt = len(raw) / 2 / 8000.0
+    waves = [wave] * batch
+    padded, n_samples = bp.pad_batch(waves)
+
+    # warm up / compile
+    res = bp.run_padded(padded, n_samples)
+    assert len(res.labels[0]) > 0
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = bp.run_padded(padded, n_samples)
+    dt = (time.perf_counter() - t0) / iters
+
+    total_audio = batch * audio_seconds_per_utt
+    value = total_audio / dt
+    print(json.dumps({
+        "metric": "audio_sec_per_s_per_chip_e2e_wav_to_rec",
+        "value": round(value, 2),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

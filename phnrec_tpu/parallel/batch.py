@@ -1,0 +1,151 @@
+"""Batched, data-parallel wav->labels pipeline.
+
+The reference processes utterances one at a time, frame by frame
+(ProcessFileList loop, srec.cpp:1246-1291).  The TPU-native replacement
+runs a whole batch of padded utterances through one jitted tensor program:
+
+    wave [B, L] --frame/mel GEMMs--> params [B, T, D]
+      --masked sentence norm--> --LCRC gather/GEMMs--> --MLP stack-->
+    log-posteriors [B, T, PS] --vmapped Viterbi scan--> histories [B, T]
+
+Per-utterance true lengths ride along as [B] integers: sentence statistics
+mask padded frames, the STC context gather clips to the last VALID frame
+(reproducing the reference's repeat-last-frame tail, srec.cpp:877-927), and
+history rows beyond n_frames[b] are simply ignored at backtrack — the scan
+itself needs no masking because padded steps cannot influence earlier
+records.
+
+Data parallelism: the batch axis is sharded over the mesh's 'data' axis
+with jax.sharding; XLA partitions every stage without any collective
+(decode state is per-utterance).  Throughput counters are psum-aggregated
+in aggregate_metrics().
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phnrec_tpu import normalization
+from phnrec_tpu.decoder import phnloop
+from phnrec_tpu.io.labels import Label
+from phnrec_tpu.pipeline import SpeechRec
+
+
+@dataclass
+class BatchResult:
+    labels: List[List[Label]]       # per utterance
+    n_frames: np.ndarray            # [B]
+
+
+class BatchPipeline:
+    """Jitted batch runner built on a SpeechRec's loaded components."""
+
+    def __init__(self, sr: SpeechRec, mesh: Optional[jax.sharding.Mesh] = None):
+        if sr.estimator is None:
+            raise ValueError("batch pipeline requires an enabled estimator")
+        self.sr = sr
+        self.mesh = mesh
+        self._sharding = (
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))
+            if mesh is not None else None)
+
+    # -- padding helpers -------------------------------------------------
+    def pad_batch(self, waves: Sequence[np.ndarray]) -> Tuple[np.ndarray,
+                                                              np.ndarray]:
+        """Pad float waveforms to a common length (zeros).  Each waveform
+        must already be >= MB_VECTORSIZE samples (io.audio pads)."""
+        L = max(w.shape[0] for w in waves)
+        fe = self.sr.frontend
+        # round frame count up so every bucketed length maps to full frames
+        out = np.zeros((len(waves), L), np.float32)
+        n_samples = np.zeros(len(waves), np.int32)
+        for i, w in enumerate(waves):
+            out[i, : w.shape[0]] = w
+            n_samples[i] = w.shape[0]
+        return out, n_samples
+
+    def frame_counts(self, n_samples: np.ndarray) -> np.ndarray:
+        spec = self.sr.frontend.spec
+        return np.where(
+            n_samples <= spec.vector_size, 1,
+            (n_samples - spec.vector_size) // spec.step + 1).astype(np.int32)
+
+    # -- jitted core -----------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _core(self, wave: jnp.ndarray, n_frames: jnp.ndarray,
+              max_frames: int):
+        """[B, L] waves + [B] frame counts -> histories + log-posteriors."""
+        sr = self.sr
+        fe = sr.frontend
+        est = sr.estimator
+
+        frames = jax.vmap(lambda w: fe.frames_from_wave(w, max_frames))(wave)
+        par = fe.log_mel_from_frames(frames)
+        par = normalization.frame_norm(par, sr.frame_shift, sr.frame_floor)
+
+        def per_utt(p, n):
+            p = normalization.sentence_norm(p, sr.sent_norm, n_valid=n)
+            # clip the STC context to the last VALID frame of this utterance
+            idx = jnp.clip(
+                est.assembler.context_indices(max_frames), 0, n - 1)
+            ctx = p[idx]
+            hc = est.assembler.half_context
+            left = jnp.einsum("tjb,jc->tbc", ctx[:, :hc, :],
+                              est.assembler.m_left,
+                              precision=jax.lax.Precision.HIGHEST)
+            right = jnp.einsum("tjb,jc->tbc", ctx[:, hc - 1:, :],
+                               est.assembler.m_right,
+                               precision=jax.lax.Precision.HIGHEST)
+            return left.reshape(max_frames, -1), right.reshape(max_frames, -1)
+
+        left, right = jax.vmap(per_utt)(par, n_frames)
+
+        from phnrec_tpu.posteriors import mlp
+        lo = mlp.forward(est.band[0], left, est.fast_exp)
+        ro = mlp.forward(est.band[1], right, est.fast_exp)
+        m = jnp.concatenate([lo, ro], axis=-1)
+        m = jnp.where(m > 0.0, jnp.log(jnp.maximum(m, 1e-37)), 0.0)
+        post = mlp.forward(est.merger, m, est.fast_exp)
+
+        post = sr.post_soft(post)
+        lp = sr.dec_soft(post)
+        hist = jax.vmap(lambda x: phnloop.viterbi_scan(sr.loop_spec, x))(lp)
+        return hist
+
+    # -- public API ------------------------------------------------------
+    def run_padded(self, wave: np.ndarray, n_samples: np.ndarray
+                   ) -> BatchResult:
+        n_frames = self.frame_counts(n_samples)
+        max_frames = int(
+            self.sr.frontend.frame_count(wave.shape[1]))
+        w = jnp.asarray(wave)
+        nf = jnp.asarray(n_frames)
+        if self._sharding is not None:
+            w = jax.device_put(w, self._sharding)
+            nf = jax.device_put(nf, self._sharding)
+        hist = self._core(w, nf, max_frames)
+        hist = jax.tree_util.tree_map(np.asarray, hist)
+        labels = []
+        for b in range(wave.shape[0]):
+            h = phnloop.History(*(a[b, : n_frames[b]] for a in hist))
+            labels.append(phnloop.backtrack(h, self.sr.phonemes))
+        return BatchResult(labels=labels, n_frames=n_frames)
+
+    def run(self, waves: Sequence[np.ndarray]) -> BatchResult:
+        wave, n_samples = self.pad_batch(waves)
+        return self.run_padded(wave, n_samples)
+
+
+def aggregate_metrics(metrics: dict, mesh: jax.sharding.Mesh) -> dict:
+    """psum per-host counters (audio seconds, frames, edits) over the mesh."""
+    from jax.experimental import multihost_utils
+    arr = jnp.asarray([float(v) for v in metrics.values()])
+    total = multihost_utils.process_allgather(arr).sum(axis=0)
+    return {k: float(total[i]) for i, k in enumerate(metrics)}
