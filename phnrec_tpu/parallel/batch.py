@@ -116,8 +116,7 @@ class BatchPipeline:
 
         post = sr.post_soft(post)
         lp = sr.dec_soft(post)
-        hist = jax.vmap(lambda x: phnloop.viterbi_scan(sr.loop_spec, x))(lp)
-        return hist
+        return phnloop.viterbi_scan_batch(sr.loop_spec, lp)
 
     # -- public API ------------------------------------------------------
     def run_padded(self, wave: np.ndarray, n_samples: np.ndarray
