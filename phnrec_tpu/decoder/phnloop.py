@@ -56,10 +56,22 @@ class History(NamedTuple):
     alpha: jnp.ndarray      # winning exit score
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def viterbi_scan_batch(spec: PhnLoopSpec, log_post: jnp.ndarray,
-                       unroll: int = 4) -> History:
-    """[B, T, >=P*S] log posteriors -> per-frame history records [B, T].
+def init_carry(spec: PhnLoopSpec, batch: int):
+    """PhnDec::Init state (phndec.cpp:62-88): -inf alphas, entry column
+    seeded with the insertion penalty (the reference's t=0 quirk)."""
+    P, S = spec.n_phonemes, spec.n_states
+    alphas0 = jnp.full((batch, P, S + 1), NEG_INF,
+                       jnp.float32).at[:, :, 0].set(jnp.float32(spec.w_penalty))
+    prev0 = jnp.full((batch, P, S + 1), -1, jnp.int32)
+    len0 = jnp.zeros((batch, P, S + 1), jnp.int32)
+    return (alphas0, prev0, len0)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def viterbi_block(spec: PhnLoopSpec, carry, log_post: jnp.ndarray,
+                  unroll: int = 4):
+    """Scan a block of frames from an explicit carry (streaming chunk or
+    whole utterance): [B, T, >=P*S] -> (carry', History [B, T]).
 
     PDF layout: phoneme p state s (0-based) reads log_post[..., p*S + s]
     (CreatePdfIndexes, phndec.cpp:352-368).
@@ -75,12 +87,6 @@ def viterbi_scan_batch(spec: PhnLoopSpec, log_post: jnp.ndarray,
     tr_next = jnp.float32(spec.log_tr_next)
 
     obs = jnp.moveaxis(log_post[:, :, : P * S].reshape(B, T, P, S), 1, 0)
-
-    # carry: alphas [B, P, S+1] (col 0 = loop entry), prev_phn, phn_len
-    alphas0 = jnp.full((B, P, S + 1), NEG_INF,
-                       jnp.float32).at[:, :, 0].set(w_pen)
-    prev0 = jnp.full((B, P, S + 1), -1, jnp.int32)
-    len0 = jnp.zeros((B, P, S + 1), jnp.int32)
     bidx = jnp.arange(B)
 
     def step(carry, obs_t):
@@ -115,11 +121,18 @@ def viterbi_scan_batch(spec: PhnLoopSpec, log_post: jnp.ndarray,
             [jnp.zeros((B, P, 1), jnp.int32), new_len], axis=2)
         return (alphas, prev_phn, phn_len), rec
 
-    _, (max_phn, prev_phn, length, alpha) = jax.lax.scan(
-        step, (alphas0, prev0, len0), obs, unroll=unroll)
+    carry, (max_phn, prev_phn, length, alpha) = jax.lax.scan(
+        step, carry, obs, unroll=unroll)
     # scan stacked on the leading (time) axis; return batch-major [B, T]
-    return History(*(jnp.moveaxis(a, 0, 1)
-                     for a in (max_phn, prev_phn, length, alpha)))
+    return carry, History(*(jnp.moveaxis(a, 0, 1)
+                            for a in (max_phn, prev_phn, length, alpha)))
+
+
+def viterbi_scan_batch(spec: PhnLoopSpec, log_post: jnp.ndarray) -> History:
+    """Whole-utterance batch decode: [B, T, >=P*S] -> History [B, T]."""
+    _, hist = viterbi_block(spec, init_carry(spec, log_post.shape[0]),
+                            log_post)
+    return hist
 
 
 def viterbi_scan(spec: PhnLoopSpec, log_post: jnp.ndarray) -> History:

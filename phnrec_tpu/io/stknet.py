@@ -1,0 +1,137 @@
+"""STK network file parser — the dialect ReadSTKNetwork accepts
+(STKLib/Net_IO.cc:687-1010), scoped to what phnrec produces/consumes:
+netgen phoneme loops, kwsnetg KWS networks, and hand-written HTK-SLF-ish
+lattices with I=/W=/M=/f= fields and E= arcs with l= LM scores.
+
+Line grammar (whitespace-separated fields):
+  header lines:  N=<nnodes> [L=<nlinks>] (and any skipped keyword)
+  node lines:    <id> | I=<id>, then W=<word>|!NULL, M=<model>, v=<var>,
+                 f=<flags K/F/T>, then E=<target> [l=<like>] arc pairs or
+                 bare target ids.
+A bare first field is the node id; bare fields after the node definition
+are arc targets (the netgen output form, netgen.cpp:120-160).
+Nodes are created on first reference; '.' ends the network in an MLF-like
+stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+NT_WORD, NT_MODEL, NT_STICKY, NT_TRUE = 1, 2, 4, 8
+
+
+@dataclass
+class NetNode:
+    ident: str
+    order: int                      # document order (STK processing order)
+    ntype: int = 0                  # bit mask of NT_*
+    word: Optional[str] = None      # W= (None for !NULL / non-word nodes)
+    model: Optional[str] = None     # M=
+    pron_var: int = 1
+    links: List[Tuple["NetNode", float]] = field(default_factory=list)
+
+    @property
+    def is_model(self) -> bool:
+        return bool(self.ntype & NT_MODEL)
+
+    @property
+    def is_null(self) -> bool:
+        """A word node with no pronunciation (W=!NULL or bare id)."""
+        return not self.is_model and self.word is None
+
+    @property
+    def is_sticky(self) -> bool:
+        return bool(self.ntype & NT_STICKY)
+
+
+@dataclass
+class StkNetwork:
+    nodes: List[NetNode]            # in document order
+
+    @property
+    def first(self) -> NetNode:
+        return self.nodes[0]
+
+    @property
+    def last(self) -> NetNode:
+        # STK's mpLast: the network end = the node with no outgoing links
+        for n in self.nodes:
+            if not n.links:
+                return n
+        return self.nodes[-1]
+
+
+def parse_stk_network(path_or_text: str, is_text: bool = False) -> StkNetwork:
+    text = path_or_text if is_text else open(path_or_text,
+                                             encoding="latin-1").read()
+    nodes: Dict[str, NetNode] = {}
+    order: List[NetNode] = []
+
+    def get_node(ident: str) -> NetNode:
+        if ident not in nodes:
+            nodes[ident] = NetNode(ident=ident, order=len(order))
+            order.append(nodes[ident])
+        return nodes[ident]
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line == ".":
+            break
+        fields = line.split()
+        node: Optional[NetNode] = None
+        target: Optional[NetNode] = None
+        i = 0
+        while i < len(fields):
+            f = fields[i]
+            key, eq, val = f.partition("=")
+            if node is None:
+                # first field: I=<id> or bare <id>, else a header line
+                if not eq:
+                    if key in ("N", "NODES", "L", "LINKS", "J", "S",
+                               "VERSION"):
+                        break
+                    node = get_node(key)
+                elif key == "I":
+                    node = get_node(val)
+                else:
+                    break  # header line (N=..., VERSION=..., etc.)
+                i += 1
+                continue
+            if not eq:
+                # bare arc target (netgen form)
+                target = get_node(key)
+                node.links.append((target, 0.0))
+            elif key in ("E", "END"):
+                target = get_node(val)
+                node.links.append((target, 0.0))
+            elif key in ("l", "language"):
+                if target is None:
+                    raise ValueError(f"l= before arc in line: {raw!r}")
+                node.links[-1] = (node.links[-1][0], float(val))
+            elif key in ("W", "WORD"):
+                node.word = None if val == "!NULL" else val
+                node.ntype = (node.ntype & ~NT_MODEL) | NT_WORD
+            elif key in ("M", "MODEL"):
+                node.model = val
+                node.ntype = (node.ntype & ~NT_WORD) | NT_MODEL
+            elif key in ("f", "flag"):
+                for c in val.upper():
+                    if c in ("K", "F"):
+                        node.ntype |= NT_STICKY
+                    elif c == "T":
+                        node.ntype |= NT_TRUE
+                    else:
+                        raise ValueError(f"Invalid flag {c!r}")
+            elif key in ("v", "var"):
+                node.pron_var = int(val)
+            elif key in ("t", "time", "p", "d", "div"):
+                pass  # times/accuracies/phone marks: accepted, unused
+            i += 1
+
+    if not order:
+        raise ValueError("empty network")
+    return StkNetwork(nodes=order)

@@ -99,3 +99,114 @@ def sentence_norm(x: jnp.ndarray, spec: SentenceNormSpec,
         else:
             x = x - chmax
     return x
+
+
+class OnlineNorm:
+    """Streaming per-channel mean/variance normalization (norm.{cpp,h}).
+
+    Accumulates the first ``estim_interval`` frames, then freezes
+    mean/inv-std and applies them to every frame from the one completing
+    the estimate onward (earlier frames pass through with the identity
+    params, norm.cpp:216-234).  Parameters persist to an XML file
+    auto-loaded on startup (only effective when estim_interval == 0,
+    because a nonzero interval re-estimates and overwrites — reference
+    init order srec.cpp:594-601).  Channels switch via set_channel
+    (multi-channel audio sources).
+    """
+
+    def __init__(self, dim: int, estim_interval: int = 0,
+                 mean_norm: bool = False, var_norm: bool = False,
+                 scale_to_gvar: bool = False, file: str = "none"):
+        import os
+
+        self.dim = dim
+        self.estim_interval = estim_interval
+        self.mean_norm = mean_norm
+        self.var_norm = var_norm
+        self.scale_to_gvar = scale_to_gvar
+        self.file = file
+        self.channels: dict = {}
+        self.cur = 0
+        if file not in ("", "none") and os.path.exists(file):
+            from phnrec_tpu.io.normfile import load_norm_file
+            for cid, ch in load_norm_file(file).items():
+                st = self._state(cid)
+                st["mean"] = ch.get("mean", st["mean"])
+                st["inv_std"] = ch.get("inv_std", st["inv_std"])
+                st["glob_std"] = ch.get("glob_std", st["glob_std"])
+
+    @property
+    def enabled(self) -> bool:
+        return self.mean_norm or self.var_norm
+
+    def _state(self, cid: int) -> dict:
+        import numpy as np
+        if cid not in self.channels:
+            self.channels[cid] = dict(
+                n=0,
+                x=np.zeros(self.dim, np.float32),
+                x2=np.zeros(self.dim, np.float32),
+                mean=np.zeros(self.dim, np.float32),
+                inv_std=np.ones(self.dim, np.float32),
+                glob_std=np.ones(self.dim, np.float32),
+                frozen=self.estim_interval == 0,
+            )
+        return self.channels[cid]
+
+    def set_channel(self, cid: int) -> None:
+        self.cur = cid
+        self._state(cid)
+
+    def _save(self) -> None:
+        if self.file in ("", "none"):
+            return
+        from phnrec_tpu.io.normfile import save_norm_file
+        save_norm_file(self.file, {
+            cid: (st["mean"], st["inv_std"])
+            for cid, st in self.channels.items()
+        })
+
+    def process_block(self, frames):
+        """[F, dim] numpy block -> normalized block (in frame order,
+        replicating the per-frame Accum/Update/Norm sequencing)."""
+        import numpy as np
+        st = self._state(self.cur)
+        out = np.array(frames, dtype=np.float32, copy=True)
+        i = 0
+        F = out.shape[0]
+        while not st["frozen"] and i < F and st["n"] < self.estim_interval:
+            take = min(self.estim_interval - st["n"], F - i)
+            blk = out[i : i + take]
+            st["x"] += blk.sum(axis=0)
+            st["x2"] += (blk * blk).sum(axis=0)
+            st["n"] += take
+            if st["n"] == self.estim_interval:
+                st["mean"] = st["x"] / st["n"]
+                var = st["x2"] / st["n"] - st["mean"] * st["mean"]
+                st["inv_std"] = (1.0 / np.sqrt(var)).astype(np.float32)
+                st["frozen"] = True
+                self._save()
+                # the frame completing the estimate IS normalized
+                i += take - 1
+            else:
+                i += take  # still estimating: identity applied
+        if st["frozen"] or self.estim_interval == 0:
+            sl = slice(i, F)
+            if self.mean_norm:
+                out[sl] -= st["mean"]
+            if self.var_norm:
+                out[sl] *= st["inv_std"]
+                if self.scale_to_gvar:
+                    out[sl] *= st["glob_std"]
+        return out
+
+    @classmethod
+    def from_config(cls, cfg, dim: int) -> "OnlineNorm":
+        return cls(
+            dim=dim,
+            estim_interval=cfg.get_int("onlinenorm", "estim_interval"),
+            mean_norm=cfg.get_bool("onlinenorm", "mean_norm"),
+            var_norm=cfg.get_bool("onlinenorm", "var_norm"),
+            scale_to_gvar=cfg.get_bool("onlinenorm", "scale_to_gvar"),
+            file=cfg.get_str("onlinenorm", "file"),
+        )
