@@ -1,0 +1,583 @@
+"""Generic HMM-network Viterbi decoder over STK networks (dense lattice
+scan) with keyword-spotting support.
+
+The reference adapts STKLib's token-passing engine (stkinterface.{cpp,h} ->
+STKLib/Viterbi.cc): per frame, tokens propagate inside active models
+(TokenPropagationInModels, Viterbi.cc:1505-1719) and then across the
+network through null/word nodes with word penalties and LM-scaled arc
+likelihoods (TokenPropagationInNetwork, Viterbi.cc:1340-1500), recording
+word passages as ref-counted WordLinkRecords.
+
+TPU-first redesign: token passing over linked lists is hostile to XLA, but
+the graphs phnrec exercises are small and static, so the network COMPILES
+to dense arrays:
+
+  * every emitting HMM state of every model node gets a global index;
+    within-model transitions, entry (state 0 -> j) and exit (i -> N-1)
+    rows become edge lists (src, dst, log-prob),
+  * chains of instantaneous nodes (nulls and word nodes) are closed over
+    at compile time: each path model-exit -> ... -> model-entry becomes
+    one "closure edge" carrying the accumulated LM likes (* lm_scale),
+    word penalties (Viterbi.cc:1405-1414: wPenalty + pronScale*pronprob
+    per word node crossed) and the sequence of words passed,
+  * the per-frame recursion is then three segment-max reductions inside a
+    `lax.scan`, with argmax edge ids recorded for exact traceback.
+
+Tie-breaking parity: PassTokenMax takes strictly-greater (Viterbi.cc:
+1727-1752), so among equal-scoring edges the first processed wins; edges
+are ordered by STK's document/processing order and ties resolve to the
+lowest edge index.
+
+Observation lookup: <PDFObsVec> states read obs[PDF_obs_coef]
+(Viterbi.cc:760-768, the phnrec path); DiagC GMM states get their log
+likelihood batch-precomputed on the MXU before the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phnrec_tpu.io.labels import Label
+from phnrec_tpu.io.mmf import LOG_0, ModelSet
+from phnrec_tpu.io.stknet import NetNode, StkNetwork
+
+NEG = np.float32(-1e30)
+
+
+# ---------------------------------------------------------------------------
+# compilation
+# ---------------------------------------------------------------------------
+@dataclass
+class ClosureEdge:
+    src: int                 # source model index, or -1 for network START
+    dst: int                 # destination model index, or -1 (sink)
+    sink: Optional[int]      # sink index when dst == -1
+    score: float             # sum of lm*scale + word penalties along path
+    words: Tuple[str, ...]   # words crossed, in order
+    word_time_reset: bool    # True iff words were crossed (WLR time = now)
+
+
+@dataclass
+class CompiledNetwork:
+    # emitting states
+    n_states: int
+    n_models: int
+    obs_index: np.ndarray          # [E] posterior column per state (-1 = GMM)
+    gmm_index: np.ndarray          # [E] row into gmm loglik matrix (-1)
+    state_model: np.ndarray        # [E] owning model index
+    model_names: List[str]
+    # within-model + entry edges (targets are emitting states)
+    in_src: np.ndarray             # [Ein] source: emitting state id, or
+    in_src_is_entry: np.ndarray    # [Ein] bool: src is the model entry slot
+    in_dst: np.ndarray             # [Ein]
+    in_w: np.ndarray               # [Ein]
+    # exit edges (emitting state -> model exit slot)
+    ex_src: np.ndarray             # [Eex]
+    ex_dst_model: np.ndarray       # [Eex]
+    ex_w: np.ndarray               # [Eex]
+    # closure edges between models / start / sinks
+    closure: List[ClosureEdge]
+    # sinks (terminal node + KWS sticky ends)
+    sink_names: List[Optional[str]]   # word name or None (null sink)
+    terminal_sink: int
+    kws_word_sinks: List[int]
+    kws_filler_sink: Optional[int]
+    gmm_states: List                  # GMMState list for batch eval
+
+
+def compile_network(net: StkNetwork, models: ModelSet, wpenalty: float,
+                    lm_scale: float, mpenalty: float = 0.0,
+                    pron_scale: float = 1.0) -> CompiledNetwork:
+    model_nodes = [n for n in net.nodes if n.is_model]
+    model_index = {id(n): i for i, n in enumerate(model_nodes)}
+
+    # ---- emitting state table
+    obs_index: List[int] = []
+    gmm_index: List[int] = []
+    state_model: List[int] = []
+    gmm_states: List = []
+    in_src, in_entry, in_dst, in_w = [], [], [], []
+    ex_src, ex_dst, ex_w = [], [], []
+    state_base: List[int] = []
+    for mi, node in enumerate(model_nodes):
+        if node.model not in models.hmms:
+            raise ValueError(f"model {node.model!r} not in HMM set")
+        hmm = models.hmms[node.model]
+        N = hmm.n_states
+        base = len(obs_index)
+        state_base.append(base)
+        for j in range(N - 2):
+            oc = hmm.obs_coefs[j]
+            if oc is not None:
+                obs_index.append(oc)
+                gmm_index.append(-1)
+            else:
+                obs_index.append(-1)
+                gmm_index.append(len(gmm_states))
+                gmm_states.append(hmm.gmm_states[j])
+            state_model.append(mi)
+        lt = hmm.log_transp
+        for j in range(1, N - 1):           # to emitting state j
+            if lt[0, j] > LOG_0 / 2:        # entry edge
+                in_src.append(mi)
+                in_entry.append(True)
+                in_dst.append(base + j - 1)
+                in_w.append(float(lt[0, j]))
+            for i in range(1, N - 1):       # from emitting state i
+                if lt[i, j] > LOG_0 / 2:
+                    in_src.append(base + i - 1)
+                    in_entry.append(False)
+                    in_dst.append(base + j - 1)
+                    in_w.append(float(lt[i, j]))
+        for i in range(1, N - 1):           # exit edges
+            if lt[i, N - 1] > LOG_0 / 2:
+                ex_src.append(base + i - 1)
+                ex_dst.append(mi)
+                ex_w.append(float(lt[i, N - 1]))
+
+    # ---- sinks: terminal + sticky non-model nodes
+    sink_nodes: List[NetNode] = []
+    last = net.last
+    if not last.is_model:
+        sink_nodes.append(last)
+    for n in net.nodes:
+        if not n.is_model and n.is_sticky and n is not last:
+            sink_nodes.append(n)
+    sink_of = {id(n): i for i, n in enumerate(sink_nodes)}
+
+    # ---- closure over instantaneous (non-model) nodes
+    closure: List[ClosureEdge] = []
+
+    def walk(src_model: int, node: NetNode, lm: float, score: float,
+             words: Tuple[str, ...], visited: frozenset) -> None:
+        """Arrived AT `node` (non-model) with arc lm-like `lm` pending."""
+        if id(node) in visited:
+            raise ValueError("cycle through null nodes in network")
+        score = score + lm * lm_scale
+        if node.word is not None:
+            score += wpenalty           # + pron_scale * pronprob (0 here)
+            words = words + (node.word,)
+        if id(node) in sink_of:
+            closure.append(ClosureEdge(src_model, -1, sink_of[id(node)],
+                                       score, words, bool(words)))
+            # sticky sinks keep propagating within the frame: StkInterface
+            # kills their tokens only AFTER the frame (stkinterface.cpp:279)
+        visited = visited | {id(node)}
+        for tgt, arc_lm in node.links:
+            if tgt.is_model:
+                closure.append(ClosureEdge(
+                    src_model, model_index[id(tgt)], None,
+                    score + arc_lm * lm_scale, words, bool(words)))
+            else:
+                walk(src_model, tgt, arc_lm, score, words, visited)
+
+    # from network START
+    start = net.first
+    if start.is_model:
+        closure.append(ClosureEdge(-1, model_index[id(start)], None, 0.0,
+                                   (), False))
+    else:
+        walk(-1, start, 0.0, 0.0, (), frozenset())
+    # from each model's exit (model exit adds mMPenalty, Viterbi.cc:1406)
+    for mi, node in enumerate(model_nodes):
+        for tgt, arc_lm in node.links:
+            if tgt.is_model:
+                closure.append(ClosureEdge(
+                    mi, model_index[id(tgt)], None,
+                    mpenalty + arc_lm * lm_scale, (), False))
+            else:
+                walk(mi, tgt, arc_lm, mpenalty, (), frozenset())
+
+    kws_word_sinks = [i for i, n in enumerate(sink_nodes)
+                      if n.is_sticky and n.word is not None]
+    kws_filler = [i for i, n in enumerate(sink_nodes)
+                  if n.is_sticky and n.word is None and n is not net.last]
+    # the terminal may itself be the filler end (loop networks reuse it)
+    if not kws_filler and sink_nodes and sink_nodes[0].word is None:
+        kws_filler = [0]
+
+    return CompiledNetwork(
+        n_states=len(obs_index),
+        n_models=len(model_nodes),
+        obs_index=np.asarray(obs_index, np.int32),
+        gmm_index=np.asarray(gmm_index, np.int32),
+        state_model=np.asarray(state_model, np.int32),
+        model_names=[n.model for n in model_nodes],
+        in_src=np.asarray(in_src, np.int32),
+        in_src_is_entry=np.asarray(in_entry, bool),
+        in_dst=np.asarray(in_dst, np.int32),
+        in_w=np.asarray(in_w, np.float32),
+        ex_src=np.asarray(ex_src, np.int32),
+        ex_dst_model=np.asarray(ex_dst, np.int32),
+        ex_w=np.asarray(ex_w, np.float32),
+        closure=closure,
+        sink_names=[n.word for n in sink_nodes],
+        terminal_sink=0 if sink_nodes else -1,
+        kws_word_sinks=kws_word_sinks,
+        kws_filler_sink=kws_filler[0] if kws_filler else None,
+        gmm_states=gmm_states,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense Viterbi scan
+# ---------------------------------------------------------------------------
+class NetworkDecoder:
+    """Dense Viterbi over a compiled network."""
+
+    def __init__(self, compiled: CompiledNetwork):
+        self.c = c = compiled
+        # split closure edges: model->model (graph edges) and ->sink
+        self.cm = [e for e in c.closure if e.dst >= 0]
+        self.cs = [e for e in c.closure if e.dst < 0]
+        self.cm_src = jnp.asarray([e.src for e in self.cm], jnp.int32)
+        self.cm_dst = jnp.asarray([e.dst for e in self.cm], jnp.int32)
+        self.cm_w = jnp.asarray([e.score for e in self.cm], jnp.float32)
+        self.cm_reset = jnp.asarray(
+            [e.word_time_reset for e in self.cm], bool)
+        self.cs_src = jnp.asarray([e.src for e in self.cs], jnp.int32)
+        self.cs_sink = jnp.asarray([e.sink for e in self.cs], jnp.int32)
+        self.cs_w = jnp.asarray([e.score for e in self.cs], jnp.float32)
+        self.in_src = jnp.asarray(c.in_src)
+        self.in_entry = jnp.asarray(c.in_src_is_entry)
+        self.in_dst = jnp.asarray(c.in_dst)
+        self.in_w = jnp.asarray(c.in_w)
+        self.ex_src = jnp.asarray(c.ex_src)
+        self.ex_dst = jnp.asarray(c.ex_dst_model)
+        self.ex_w = jnp.asarray(c.ex_w)
+        self.obs_idx = jnp.asarray(np.maximum(c.obs_index, 0))
+        self.n_sinks = len(c.sink_names)
+
+    # -- initial entry values (ViterbiInit: token like 0 in first node,
+    #    then one network propagation)
+    def _init_entry(self):
+        M = self.c.n_models
+        entry = np.full(M, NEG, np.float32)
+        entry_edge = np.full(M, -1, np.int32)
+        entry_wt = np.zeros(M, np.int32)
+        for k, e in enumerate(self.cm):
+            if e.src == -1 and e.score > entry[e.dst]:
+                entry[e.dst] = e.score
+                entry_edge[e.dst] = k
+        return entry, entry_edge, entry_wt
+
+    def state_observations(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """[T, D] decoder input -> [T, E] per-state observation log-probs.
+
+        PDFObsVec states gather their posterior column; DiagC GMM states
+        get batched log-likelihoods (one [T, M_mix] GEMM-shaped reduction
+        per state set)."""
+        c = self.c
+        if len(c.gmm_states) == 0:
+            return obs[:, self.obs_idx]
+        cols = obs[:, self.obs_idx]
+        glls = []
+        for g in c.gmm_states:
+            diff = obs[:, None, :] - g.means[None]          # [T, M, D]
+            q = jnp.sum(diff * diff / g.variances[None], axis=-1)
+            comp = jnp.log(g.weights)[None] - 0.5 * (g.gconsts[None] + q)
+            glls.append(jax.scipy.special.logsumexp(comp, axis=-1))
+        gll = jnp.stack(glls, axis=1)                        # [T, n_gmm]
+        is_gmm = jnp.asarray(c.gmm_index >= 0)
+        gidx = jnp.asarray(np.maximum(c.gmm_index, 0))
+        return jnp.where(is_gmm[None, :], gll[:, gidx], cols)
+
+    @partial(jax.jit, static_argnums=0)
+    def _scan(self, obs_state: jnp.ndarray, n_valid: jnp.ndarray):
+        """obs_state: [T_padded, E] per-state observation log-probs;
+        n_valid: true frame count (padded steps pass the carry through
+        unchanged, so T buckets compile once and reuse).
+
+        Returns per-frame records for traceback + sink values.
+        """
+        c = self.c
+        E, M = c.n_states, c.n_models
+        n_cm = self.cm_src.shape[0]
+
+        entry0, entry_edge0, entry_wt0 = self._init_entry()
+        alpha0 = jnp.full((E,), NEG, jnp.float32)
+        wt0 = jnp.zeros((E,), jnp.int32)      # last word-crossing time
+
+        def seg_max_argmax(vals, seg, num, order):
+            """max + first-wins argmax (by `order` = original edge index)."""
+            mx = jax.ops.segment_max(vals, seg, num_segments=num)
+            mx = jnp.where(jnp.isfinite(mx), mx, NEG)
+            cand = jnp.where(vals >= mx[seg], order,
+                             jnp.iinfo(jnp.int32).max)
+            am = jax.ops.segment_min(cand, seg, num_segments=num)
+            return mx, am
+
+        in_src_m = self.in_src.clip(0, M - 1)
+        in_src_s = self.in_src.clip(0, E - 1)
+
+        def step(carry, inputs):
+            alpha, wt, entry, entry_edge, entry_wt = carry
+            obs_t, t = inputs
+
+            # in-model propagation: from old alpha / entry values
+            src_val = jnp.where(self.in_entry, entry[in_src_m],
+                                alpha[in_src_s])
+            src_wt = jnp.where(self.in_entry, entry_wt[in_src_m],
+                               wt[in_src_s])
+            vals = src_val + self.in_w
+            order = jnp.arange(vals.shape[0], dtype=jnp.int32)
+            new_alpha, in_am = seg_max_argmax(vals, self.in_dst, E, order)
+            new_wt = src_wt[in_am.clip(0, vals.shape[0] - 1)]
+            new_alpha = new_alpha + obs_t
+            # exit: from UPDATED alpha (Viterbi.cc:1663-1686)
+            ex_vals = new_alpha[self.ex_src] + self.ex_w
+            ex_order = jnp.arange(ex_vals.shape[0], dtype=jnp.int32)
+            exit_val, ex_am = seg_max_argmax(ex_vals, self.ex_dst, M,
+                                             ex_order)
+            exit_wt = new_wt[self.ex_src[ex_am.clip(0, ex_vals.shape[0]
+                                                    - 1)]]
+
+            # network closure: model exits -> entries & sinks
+            cm_vals = exit_val[self.cm_src.clip(0)] + self.cm_w
+            cm_vals = jnp.where(self.cm_src < 0, NEG, cm_vals)
+            cm_order = jnp.arange(n_cm, dtype=jnp.int32)
+            nentry, cm_am = seg_max_argmax(cm_vals, self.cm_dst, M,
+                                           cm_order)
+            cm_am_c = cm_am.clip(0, n_cm - 1)
+            nentry_wt = jnp.where(
+                self.cm_reset[cm_am_c], t,
+                exit_wt[self.cm_src.clip(0)[cm_am_c]])
+
+            if self.cs_src.shape[0] > 0:
+                cs_vals = exit_val[self.cs_src.clip(0)] + self.cs_w
+                cs_vals = jnp.where(self.cs_src < 0, NEG, cs_vals)
+                sink_val, cs_am = seg_max_argmax(
+                    cs_vals, self.cs_sink, self.n_sinks,
+                    jnp.arange(cs_vals.shape[0], dtype=jnp.int32))
+                sink_wt = exit_wt[self.cs_src.clip(0)[
+                    cs_am.clip(0, cs_vals.shape[0] - 1)]]
+            else:
+                sink_val = jnp.full((self.n_sinks,), NEG, jnp.float32)
+                cs_am = jnp.zeros((self.n_sinks,), jnp.int32)
+                sink_wt = jnp.zeros((self.n_sinks,), jnp.int32)
+
+            rec = dict(in_am=in_am, ex_am=ex_am, cm_am=cm_am,
+                       entry_edge=entry_edge, entry_val=entry,
+                       sink_val=sink_val, cs_am=cs_am, sink_wt=sink_wt,
+                       exit_val=exit_val)
+            new_carry = (new_alpha, new_wt, nentry, cm_am_c, nentry_wt)
+            valid = t <= n_valid
+            carry = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(valid, n, o), new_carry,
+                (alpha, wt, entry, entry_edge, entry_wt))
+            return carry, rec
+
+        T = obs_state.shape[0]
+        carry0 = (alpha0, wt0, jnp.asarray(entry0),
+                  jnp.asarray(entry_edge0), jnp.asarray(entry_wt0))
+        _, recs = jax.lax.scan(
+            step, carry0,
+            (obs_state, jnp.arange(1, T + 1, dtype=jnp.int32)))
+        return recs
+
+    # ------------------------------------------------------------------
+    def _run_scan(self, obs):
+        """Pad T to a bucket so the scan compiles once per bucket size."""
+        obs = np.asarray(obs)
+        T = obs.shape[0]
+        bucket = max(256, 1 << (T - 1).bit_length())
+        if bucket > T:
+            obs = np.concatenate(
+                [obs, np.zeros((bucket - T, obs.shape[1]), obs.dtype)])
+        obs_state = self.state_observations(jnp.asarray(obs))
+        recs = jax.tree_util.tree_map(
+            np.asarray, self._scan(obs_state, jnp.int32(T)))
+        return jax.tree_util.tree_map(lambda a: a[:T], recs)
+
+    def decode(self, obs) -> List[Label]:
+        """Full decode: obs [T, D] log posteriors -> word labels (the
+        TimePruning + ViterbiDone output, via full traceback)."""
+        recs = self._run_scan(obs)
+        T = recs["in_am"].shape[0]
+        c = self.c
+        # final like: terminal sink at last frame
+        if c.terminal_sink < 0 or recs["sink_val"][T - 1, c.terminal_sink] \
+                <= NEG / 2:
+            return []
+        # walk back: sink closure edge -> src model exit -> state chain
+        words: List[Tuple[str, int, float]] = []   # (word, end_t, like)
+
+        def note_words(edge_words, t, like):
+            for w in reversed(edge_words):
+                words.append((w, t, like))
+
+        cs_edge = self.cs[int(recs["cs_am"][T - 1, c.terminal_sink])]
+        like = float(recs["sink_val"][T - 1, c.terminal_sink])
+        note_words(cs_edge.words, T, like)
+        model = cs_edge.src
+        t = T - 1
+        # state at frame t: via exit argmax of model
+        while model >= 0 and t >= 0:
+            ex_k = int(recs["ex_am"][t, model])
+            state = int(c.ex_src[ex_k])
+            # walk within frames until an entry edge is used
+            while True:
+                k = int(recs["in_am"][t, state])
+                if bool(c.in_src_is_entry[k]):
+                    m = int(c.in_src[k])
+                    # entry value at frame t was produced by closure at
+                    # frame t-1 (or the init closure at t == 0)
+                    if t == 0:
+                        ek = int(recs["entry_edge"][0, m])
+                        e = self.cm[ek]
+                        note_words(e.words, 0,
+                                   float(recs["entry_val"][0, m]))
+                        model = e.src
+                        t = -1
+                        break
+                    ek = int(recs["cm_am"][t - 1, m])
+                    e = self.cm[ek]
+                    note_words(e.words, t, float(recs["entry_val"][t, m]))
+                    model = e.src
+                    t = t - 1
+                    break
+                state = int(c.in_src[k])
+                t -= 1
+                if t < 0:
+                    model = -1
+                    break
+            if model < 0:
+                break
+        words.reverse()
+        labels: List[Label] = []
+        prev_t, prev_like = 0, 0.0
+        for w, end_t, like in words:
+            labels.append(Label(prev_t, end_t, w, like - prev_like))
+            prev_t, prev_like = end_t, like
+        return labels
+
+    # ------------------------------------------------------------------
+    def kws_scan(self, obs):
+        """KWS per-frame values: returns (word_sink_vals [T, K],
+        filler_vals [T], word_start_times [T, K]) as numpy."""
+        recs = self._run_scan(obs)
+        c = self.c
+        ws = np.asarray(c.kws_word_sinks, np.int32)
+        word_vals = recs["sink_val"][:, ws]
+        start_times = recs["sink_wt"][:, ws]
+        filler = recs["sink_val"][:, c.kws_filler_sink]
+        return word_vals, filler, start_times
+
+
+@dataclass
+class KWSHit:
+    word: str
+    start: int
+    end: int
+    score: float
+
+
+def kws_candidates(word_vals: np.ndarray, filler: np.ndarray,
+                   start_times: np.ndarray, keywords: Sequence[str],
+                   time_pruning: float = 1e9) -> List[KWSHit]:
+    """The LRTrace candidate logic (stkinterface.cpp:240-289,349-380):
+    per keyword, track the likelihood ratio word_end - filler_end; a
+    candidate grows while the LR is non-decreasing; a hypothesis with a
+    later start time than the candidate's end flushes the candidate."""
+    T, K = word_vals.shape
+    hits: List[KWSHit] = []
+    for j in range(K):
+        last_lr = -np.inf
+        cand_lr = -np.inf
+        cand_start = cand_end = 0
+        dumped = False
+
+        def flush():
+            nonlocal dumped
+            if cand_end != 0 and not dumped:
+                hits.append(KWSHit(keywords[j], int(cand_start),
+                                   int(cand_end), float(cand_lr)))
+                dumped = True
+
+        for t in range(T):
+            wv, fv = word_vals[t, j], filler[t]
+            if wv <= NEG / 2 or fv <= NEG / 2:
+                last_lr = -np.inf
+                continue
+            lr = wv - fv
+            if lr >= last_lr:
+                word_start = int(start_times[t, j])
+                if lr >= cand_lr or cand_end <= word_start:
+                    if cand_end <= word_start:
+                        flush()
+                        dumped = False
+                    cand_start = word_start
+                    cand_end = t + 1
+                    cand_lr = lr
+            last_lr = lr
+            if cand_end != 0 and (t + 1) - cand_end >= time_pruning:
+                flush()
+        flush()
+    hits.sort(key=lambda h: (h.start, h.end, h.word))
+    return hits
+
+
+class StkNetworkDecoder:
+    """Pipeline-facing adapter (the StkInterface equivalent): owns the
+    parsed HMM set + network and dispatches decode vs. KWS mode."""
+
+    def __init__(self, model_set: ModelSet, network: StkNetwork,
+                 wpenalty: float, lm_scale: float, mode: str = "decode",
+                 time_pruning: int = 40,
+                 keyword_thresholds=None):
+        self.model_set = model_set
+        self.network = network
+        self.lm_scale = lm_scale
+        self.mode = mode
+        self.time_pruning = time_pruning
+        self.keyword_thresholds = keyword_thresholds
+        self._build(wpenalty)
+
+    def _build(self, wpenalty: float) -> None:
+        self.wpenalty = wpenalty
+        self.compiled = compile_network(self.network, self.model_set,
+                                        wpenalty, self.lm_scale)
+        self.decoder = NetworkDecoder(self.compiled)
+
+    def set_wpenalty(self, wpenalty: float) -> None:
+        self._build(wpenalty)
+
+    def decode(self, log_post) -> List[Label]:
+        if self.mode == "kws":
+            wv, fv, st = self.decoder.kws_scan(log_post)
+            keywords = [self.compiled.sink_names[s]
+                        for s in self.compiled.kws_word_sinks]
+            hits = kws_candidates(wv, fv, st, keywords, self.time_pruning)
+            # NOTE: thresholds filter only the LIVE callback output in the
+            # reference (phnrec.cpp:81-83); label files keep every
+            # candidate (PutKWSCandidateToLabels).  Callers needing the
+            # live behavior filter via self.keyword_thresholds.
+            return [Label(h.start, h.end, h.word, h.score) for h in hits]
+        return self.decoder.decode(log_post)
+
+    @classmethod
+    def from_config(cls, sr, cfg) -> "StkNetworkDecoder":
+        from phnrec_tpu.io.mmf import parse_mmf
+        from phnrec_tpu.io.stknet import parse_stk_network
+        from phnrec_tpu.netgen import generate_resources
+
+        generate_resources(cfg)
+        ms = parse_mmf(cfg.get_str("models", "hmm_defs"))
+        net = parse_stk_network(cfg.get_str("networks", "default"))
+        mode = cfg.get_str("decoder", "mode")
+        thr = None
+        if mode == "kws":
+            from phnrec_tpu.kws import Thresholds
+            thr = Thresholds.from_config(cfg)
+        return cls(ms, net,
+                   wpenalty=cfg.get_float("decoder", "wpenalty"),
+                   lm_scale=cfg.get_float("decoder", "lm_scale"),
+                   mode=mode,
+                   time_pruning=cfg.get_int("decoder", "time_pruning"),
+                   keyword_thresholds=thr)

@@ -1,0 +1,160 @@
+"""STK-equivalent decoder stack: MMF/network parsing, netgen parity,
+network Viterbi vs. the phoneme-loop golden outputs, KWS, lexicon."""
+
+import os
+
+import numpy as np
+import pytest
+
+from phnrec_tpu.decoder.stknet import StkNetworkDecoder, kws_candidates
+from phnrec_tpu.io.htk import read_htk
+from phnrec_tpu.io.labels import read_rec
+from phnrec_tpu.io.mmf import parse_mmf
+from phnrec_tpu.io.stknet import parse_stk_network
+from phnrec_tpu.kws import KWSNetGenerator
+from phnrec_tpu.lexicon import Lexicon, _cipher
+from phnrec_tpu.netgen import phn_list_to_hmm_defs, phn_list_to_phn_loop
+from phnrec_tpu.phntrans import (PhnTransChecker, PhnTranscriber,
+                                 Thresholds)
+
+from conftest import golden, package_dir
+
+CZ_PHONEMES = os.path.join(package_dir("cz"), "dicts", "phonemes")
+
+
+def test_netgen_byte_parity(tmp_path):
+    """Generated MMF + loop network must byte-match the reference's own
+    generated artifacts shipped in the packages."""
+    phn_list_to_hmm_defs(CZ_PHONEMES, str(tmp_path / "models"), 3)
+    phn_list_to_phn_loop(CZ_PHONEMES, str(tmp_path / "network"), "oth")
+    assert (tmp_path / "models").read_text() == open(
+        os.path.join(package_dir("cz"), "tmp", "models")).read()
+    assert (tmp_path / "network").read_text() == open(
+        os.path.join(package_dir("cz"), "net", "network")).read()
+
+
+def test_mmf_parse(tmp_path):
+    phn_list_to_hmm_defs(CZ_PHONEMES, str(tmp_path / "models"), 3)
+    ms = parse_mmf(str(tmp_path / "models"))
+    assert ms.vec_size == 135 and ms.pdf_obs_vec
+    assert len(ms.hmms) == 45
+    h = ms.hmms["a"]
+    assert h.n_states == 5 and h.obs_coefs == [0, 1, 2]
+    assert h.log_transp[1, 1] == pytest.approx(np.log(0.5))
+
+
+def test_network_parse(tmp_path):
+    phn_list_to_phn_loop(CZ_PHONEMES, str(tmp_path / "network"), "oth")
+    net = parse_stk_network(str(tmp_path / "network"))
+    assert len(net.nodes) == 93  # 2 nulls + implicit terminal + 45*(M+W)
+    models = [n for n in net.nodes if n.is_model]
+    assert len(models) == 45
+    # W nodes link back to the loop null
+    w = models[0].links[0][0]
+    assert w.word == models[0].model
+    assert w.links[0][0].is_null
+
+
+@pytest.fixture(scope="module")
+def cz_loop_decoder(tmp_path_factory):
+    d = tmp_path_factory.mktemp("czloop")
+    phn_list_to_hmm_defs(CZ_PHONEMES, str(d / "models"), 3)
+    phn_list_to_phn_loop(CZ_PHONEMES, str(d / "network"), "oth")
+    ms = parse_mmf(str(d / "models"))
+    net = parse_stk_network(str(d / "network"))
+    return StkNetworkDecoder(ms, net, wpenalty=-4.6875, lm_scale=1.0)
+
+
+def test_network_decode_matches_phndec_golden(cz_loop_decoder):
+    """The generic network decoder over the generated phoneme loop must
+    reproduce the PhnDec golden labels (same model, two engines)."""
+    post, _, _ = read_htk(golden("fix_cz.post"))
+    labels = cz_loop_decoder.decode(np.log(np.maximum(post, 1e-37)))
+    gold = read_rec(golden("fix_cz.rec"))
+    assert [(l.start_frames, l.end_frames, l.name) for l in labels] == \
+        [(g.start_frames, g.end_frames, g.name) for g in gold]
+    for l, g in zip(labels, gold):
+        assert l.score == pytest.approx(g.score, abs=5e-3)
+
+
+def test_kws_finds_true_keywords(tmp_path):
+    """Keywords present in the utterance must surface with LR around 0 or
+    better; absent ones must score far below."""
+    phn_list_to_hmm_defs(CZ_PHONEMES, str(tmp_path / "models"), 3)
+    lex = Lexicon()
+    lex.add_word("nebude", "n e b u d e")
+    lex.add_word("takto", "t a k t o")
+    lex.add_word("missing", "S S S S")
+    gen = KWSNetGenerator(PhnTranscriber(lexicon=lex, mode="lexicon"))
+    gen.load_phn_list(CZ_PHONEMES)
+    gen.generate(["nebude", "takto", "missing"], str(tmp_path / "kwsnet"))
+
+    dec = StkNetworkDecoder(
+        parse_mmf(str(tmp_path / "models")),
+        parse_stk_network(str(tmp_path / "kwsnet")),
+        wpenalty=0.0, lm_scale=1.0, mode="kws", time_pruning=40)
+    post, _, _ = read_htk(golden("fix_cz.post"))
+    hits = dec.decode(np.log(np.maximum(post, 1e-37)))
+    best = {}
+    for h in hits:
+        if h.name not in best or h.score > best[h.name].score:
+            best[h.name] = h
+    # golden transcript: n e b u d e around frames 115-152,
+    # t a k t o around 250-290
+    assert best["nebude"].score > -10
+    assert 100 < best["nebude"].start_frames < 130
+    assert best["takto"].score > -10
+    assert 240 < best["takto"].start_frames < 260
+    assert best["missing"].score < -50
+
+
+def test_lexicon_text_and_binary(tmp_path):
+    p = tmp_path / "lex.txt"
+    p.write_text("hello\thh ax l ow\nworld\tw er l d\n")
+    lex = Lexicon()
+    lex.load(str(p), save_bin=True)
+    assert [e.trans for e in lex.get_transcs("hello")] == ["hh ax l ow"]
+    bl = tmp_path / "lex.bl"
+    assert bl.exists()
+    # binary round-trips through the LCG/XOR cipher
+    lex2 = Lexicon()
+    lex2.load(str(p))   # picks up the .bl
+    assert [e.trans for e in lex2.get_transcs("world")] == ["w er l d"]
+    raw = bl.read_bytes()
+    assert b"hello" not in raw  # actually obfuscated
+    assert _cipher(_cipher(b"abc")) == b"abc"
+
+
+def test_phntrans_modes():
+    lex = Lexicon()
+    lex.add_word("a", "x y")
+
+    class FakeGPT:
+        initialized = True
+
+        def generate(self, word):
+            from phnrec_tpu.lexicon import TransEntry
+            return [TransEntry("g g", 0.5)]
+
+    pt = PhnTranscriber(lexicon=lex, gpt=FakeGPT(), mode="lexgpt")
+    assert [e.trans for e in pt.get_transcs("a")] == ["x y"]   # lex wins
+    assert [e.trans for e in pt.get_transcs("b")] == ["g g"]   # fallback
+    pt2 = PhnTranscriber(lexicon=lex, gpt=FakeGPT(), mode="union")
+    assert len(pt2.get_transcs("a")) == 2
+
+
+def test_phntranscheck():
+    c = PhnTransChecker()
+    c.phn_list = {"a", "b"}
+    assert c.check("a b a") is None
+    assert c.check("a z b") == "z"
+    assert PhnTransChecker.transc_len("a b c") == 3
+
+
+def test_thresholds(tmp_path):
+    p = tmp_path / "thr"
+    p.write_text("yes 1.5\nno -2.0\n")
+    t = Thresholds(default_thr=-10.0)
+    t.load(str(p))
+    assert t.get("yes") == 1.5
+    assert t.get("unknown") == -10.0
