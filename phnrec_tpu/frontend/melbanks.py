@@ -163,6 +163,10 @@ class MelFrontend:
         self.mel = jnp.asarray(A, dtype=jnp.float32)  # [nfft_2, nbanks_full]
         self.nfft_2 = nfft_2
 
+    @property
+    def n_params(self) -> int:
+        return self.spec.nbanks
+
     # ------------------------------------------------------------------
     def frame_count(self, n_samples: int) -> int:
         """srec.cpp:945: one frame minimum, else 1 + (L - vs) // step."""

@@ -156,7 +156,7 @@ class SpeechRec:
             raise RuntimeError(
                 "The 'traps' module have to be enabled for generating "
                 "posteriors")
-        n_p = self.frontend.spec.nbanks
+        n_p = self.frontend.n_params
         if par.shape[1] < n_p:
             raise ValueError("Invalid dimensionality of parameter vectors")
         par = par[:, :n_p]  # truncate extra columns (srec.cpp:988-997)

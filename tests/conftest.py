@@ -12,6 +12,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
+# persistent XLA compilation cache: the CPU backend here compiles some
+# scans slowly; cache hits make repeated suite runs fast
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 REFERENCE = "/root/reference"
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 

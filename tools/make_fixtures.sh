@@ -37,4 +37,14 @@ es=run/es_pkg
 ./phnrec -c "$es" -i /root/reference/test/8580.wav -o "$OUT/fix_es.rec"
 echo /root/reference/test/8580.wav > run/es_list.txt
 ./phnrec -c "$es" -l run/es_list.txt -m "$OUT/fix_es.mlf"
+
+# PLP fixtures: the lean PHNREC_ONLY build compiles the PLP wiring out
+# (srec.cpp:563-583 under #ifndef PHNREC_ONLY), so a standalone dumper
+# drives PLPCoefs directly (tools/plpdump.cpp).
+cp "$REPO/tools/plpdump.cpp" .
+g++ -o plpdump -I . -fpermissive -Wno-narrowing -O2 \
+    plpdump.cpp plp.cpp melbanks.cpp dspc.cpp 2>/dev/null
+./plpdump /root/reference/test.raw "$OUT/fix_plp_8k.txt"
+./plpdump /root/reference/test.raw "$OUT/fix_plp_16k.txt" \
+    16000 400 160 23 0 8000 12 0.3333333 22 10 1
 echo "fixtures written to $OUT"
