@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     exact_exp = "--exact-exp" in argv
     if exact_exp:
         argv.remove("--exact-exp")
+    alize = "--alize" in argv      # vadalize output mode
+    if alize:
+        argv.remove("--alize")
 
     try:
         opts, _ = getopt.getopt(argv, "c:l:i:o:m:as:t:w:f:p:vh")
@@ -59,6 +62,31 @@ def main(argv=None) -> int:
     if "-a" in opt:
         from phnrec_tpu.live import run_live
         run_live(sr, out_format=opt.get("-f", "str"))
+        return 0
+
+    if alize and outpf == "str":
+        # vadalize: decode, then emit ALIZE speech segments
+        from phnrec_tpu.io import audio, htk
+        from phnrec_tpu.vad import write_alize
+
+        def run_one(source, target):
+            data = (audio.load_waveform_bytes(source) if inpf == "wf"
+                    else htk.read_htk(source)[0])
+            res = sr.process_offline(inpf, "str", data)
+            if target:
+                write_alize(target, res.labels)
+
+        if "-l" in opt:
+            with open(opt["-l"]) as f:
+                for line in f:
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    tgt = (parts[1] if len(parts) > 1 else
+                           sr.compose_target_name(parts[0], "str", False))
+                    run_one(parts[0], tgt)
+        elif "-i" in opt:
+            run_one(opt["-i"], opt.get("-o"))
         return 0
 
     if "-l" in opt:

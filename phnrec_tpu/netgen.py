@@ -71,7 +71,8 @@ def _read_whitespace_list(path: str) -> List[str]:
 
 
 def generate_resources(cfg) -> None:
-    """The init-time generation block (srec.cpp:336-388)."""
+    """The init-time generation block (srec.cpp:336-531): HMM defs +
+    phoneme loop, and for KWS the lexicon/G2P/keyword-network chain."""
     import os
     if cfg.get_bool("models", "gen_from_phn_list"):
         defs = cfg.get_str("models", "hmm_defs")
@@ -83,3 +84,23 @@ def generate_resources(cfg) -> None:
         os.makedirs(os.path.dirname(net) or ".", exist_ok=True)
         phn_list_to_phn_loop(cfg.get_str("dicts", "phoneme_list"), net,
                              cfg.get_str("networks", "omit_phn"))
+    if cfg.get_bool("networks", "gen_kws_net"):
+        from phnrec_tpu.gptrans import GPTranscriber
+        from phnrec_tpu.kws import KWSNetGenerator
+        from phnrec_tpu.lexicon import Lexicon
+        from phnrec_tpu.phntrans import PhnTranscriber
+
+        lex = Lexicon()
+        for key, save_key in (("lexicon1", "lexicon1_save_bin"),
+                              ("lexicon2", "lexicon2_save_bin")):
+            path = cfg.get_str("dicts", key)
+            if path not in ("", "none"):
+                lex.load(path, save_bin=cfg.get_bool("dicts", save_key))
+        gpt = GPTranscriber.from_config(cfg)
+        pt = PhnTranscriber(lexicon=lex, gpt=gpt,
+                            mode=cfg.get_str("phntransc", "mode"))
+        gen = KWSNetGenerator(pt)
+        gen.load_phn_list(cfg.get_str("dicts", "phoneme_list"))
+        net = cfg.get_str("networks", "default")
+        os.makedirs(os.path.dirname(net) or ".", exist_ok=True)
+        gen.generate_from_file(cfg.get_str("dicts", "keyword_list"), net)
