@@ -54,8 +54,8 @@ def test_distributed_runner_single_host(tmp_path):
         sr, max_batch=2, progress_file=str(tmp_path / "prog.jsonl"))
     metrics = runner.run(str(lst), mlf_path=mlf)
     assert metrics["n_utterances"] == 3
-    # EN reads the raw file at its configured 16 kHz: 59776 samples
-    assert metrics["audio_seconds"] == pytest.approx(3 * 59776 / 16000,
+    # EN reads the raw file at its configured 16 kHz: 119846 B = 59923 smp
+    assert metrics["audio_seconds"] == pytest.approx(3 * 59923 / 16000,
                                                      abs=0.01)
     out = read_mlf(mlf)
     gold = read_rec(golden("fix_en.rec"))
