@@ -80,19 +80,39 @@ def to_device(p: MLPParams, pad: int = 128) -> MLPDevice:
     )
 
 
+def _use_pallas_default() -> bool:
+    """Fused Pallas kernel on TPU; plain XLA GEMMs elsewhere (CPU tests)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def forward(net: MLPDevice, x: jnp.ndarray, fast: bool = True,
-            apply_softmax: bool = True) -> jnp.ndarray:
+            apply_softmax: bool = True,
+            use_pallas: bool | None = None) -> jnp.ndarray:
     """[..., n_inp or n_inp_pad] -> [..., n_out] posteriors.
 
     Hidden-layer zero-padding note: the reference zeroes padded sigmoid
     slots (nn.cpp:813-818); here padded w1 columns give pre-act b1=0 ->
     sigmoid 0.5, but padded w2 rows are zero so the contribution is 0
     either way.
+
+    use_pallas=None auto-selects the fused VMEM-resident kernel
+    (ops/pallas_mlp.py) on TPU backends.
     """
     n_inp_pad = net.w1.shape[0]
     if x.shape[-1] != n_inp_pad:
         pad = n_inp_pad - x.shape[-1]
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from phnrec_tpu.ops.pallas_mlp import mlp_forward_fused
+        o = mlp_forward_fused(x, net.mean, net.dev, net.w1, net.b1,
+                              net.w2, net.b2, n_out=net.n_out, fast=fast,
+                              apply_softmax=apply_softmax)
+        return o[..., : net.n_out]
     xn = (x - net.mean) * net.dev
     h = fexp.sigmoid(jnp.dot(xn, net.w1, precision=_HIGH) + net.b1, fast)
     o = jnp.dot(h, net.w2, precision=_HIGH) + net.b2
