@@ -58,12 +58,8 @@ def main() -> None:
     def one_iter():
         hist = bp._core(w_dev, nf_dev, max_frames)
         hist = jax.tree_util.tree_map(np.asarray, hist)  # D2H
-        return [
-            phnloop.backtrack(
-                phnloop.History(*(a[b, : n_frames[b]] for a in hist)),
-                sr.phonemes)
-            for b in range(batch)
-        ]
+        return phnloop.backtrack_batch(
+            phnloop.History(*hist), n_frames, sr.phonemes)
 
     labels = one_iter()  # warm up / compile
     assert len(labels[0]) > 0

@@ -12,18 +12,46 @@ Same flags:
     -v       verbose
 
 Extra (new framework):
-    --exact-exp   use hardware exp instead of the reference's fast-exp
-                  bit-parity emulation
+    --exact-exp    use hardware exp instead of the reference's fast-exp
+                   bit-parity emulation
+    --profile      print per-stage wall-clock breakdown at exit
+    --trace=DIR    capture an XLA profiler trace into DIR (TensorBoard/
+                   Perfetto viewable)
 """
 
 from __future__ import annotations
 
+import contextlib
 import getopt
 import sys
 
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    profile = "--profile" in argv
+    if profile:
+        argv.remove("--profile")
+    trace_dir = None
+    for a in list(argv):
+        if a.startswith("--trace="):
+            trace_dir = a.split("=", 1)[1]
+            argv.remove(a)
+
+    if profile or trace_dir:
+        from phnrec_tpu.utils import profiling
+        profiling.TIMER.enabled = True
+
+        def _finish(rc: int) -> int:
+            if profile:
+                print(profiling.TIMER.summary(), file=sys.stderr)
+            return rc
+
+        with profiling.trace(trace_dir):
+            return _finish(_main(argv))
+    return _main(argv)
+
+
+def _main(argv) -> int:
     exact_exp = "--exact-exp" in argv
     if exact_exp:
         argv.remove("--exact-exp")

@@ -170,6 +170,33 @@ def backtrack(hist: History, phonemes: List[str]) -> List[Label]:
     return labels
 
 
+def backtrack_batch(hist: History, n_frames: np.ndarray,
+                    phonemes: List[str]) -> List[List[Label]]:
+    """Batched backtrack over [B, T] history arrays (rows valid up to
+    n_frames[b]).  Uses the native C++ kernel when built (one call for
+    the whole batch instead of B Python loops); falls back to the
+    per-row Python replay."""
+    from phnrec_tpu import native
+
+    max_phn = np.asarray(hist.max_phn)
+    if max_phn.ndim != 2:
+        raise ValueError("backtrack_batch expects [B, T] histories")
+    if native.available():
+        segs = native.backtrack_batch(
+            max_phn, np.asarray(hist.prev_phn), np.asarray(hist.length),
+            np.asarray(hist.alpha), np.asarray(n_frames))
+        return [
+            [Label(int(s), int(e), phonemes[p], float(lk))
+             for s, e, p, lk in zip(*row)]
+            for row in segs
+        ]
+    return [
+        backtrack(History(*(np.asarray(a)[b, : int(n_frames[b])]
+                            for a in hist)), phonemes)
+        for b in range(max_phn.shape[0])
+    ]
+
+
 def decode(spec: PhnLoopSpec, log_post: jnp.ndarray,
            phonemes: List[str]) -> List[Label]:
     return backtrack(viterbi_scan(spec, log_post), phonemes)

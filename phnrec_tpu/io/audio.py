@@ -64,7 +64,17 @@ def convert_waveform(
     """bytes -> (float32 waveform padded to >= 200 samples, true sample count).
 
     Mirrors SpeechRec::ConvertWaveformFormat (srec.cpp:709-791).
+
+    Dispatches to the native C++ kernel (native/src/phnrec_native.cpp)
+    when built; the pure-NumPy path below is the reference fallback and
+    the parity oracle for tests.  (The native path is only taken for
+    noise_level == 0 — the dither RNG streams differ by design: libc
+    rand() in the reference, numpy here, the portable LCG natively.)
     """
+    if noise_level == 0.0 and fmt in ("lin16", "alaw"):
+        from phnrec_tpu import native
+        if native.available():
+            return native.convert_waveform(raw, fmt, scale, dc_shift)
     if fmt == "lin16":
         sig = np.frombuffer(raw, dtype="<i2", count=len(raw) // 2)
         n = len(sig)

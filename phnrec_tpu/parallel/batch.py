@@ -131,10 +131,8 @@ class BatchPipeline:
             nf = jax.device_put(nf, self._sharding)
         hist = self._core(w, nf, max_frames)
         hist = jax.tree_util.tree_map(np.asarray, hist)
-        labels = []
-        for b in range(wave.shape[0]):
-            h = phnloop.History(*(a[b, : n_frames[b]] for a in hist))
-            labels.append(phnloop.backtrack(h, self.sr.phonemes))
+        labels = phnloop.backtrack_batch(
+            phnloop.History(*hist), n_frames, self.sr.phonemes)
         return BatchResult(labels=labels, n_frames=n_frames)
 
     def run(self, waves: Sequence[np.ndarray]) -> BatchResult:

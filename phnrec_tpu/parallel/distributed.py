@@ -137,24 +137,22 @@ class DistributedRunner:
         metrics = RunMetrics()
         t0 = time.perf_counter()
 
-        waves, counts = [], []
-        for src in local:
-            raw = audio.load_waveform_bytes(src)
-            wave, n = audio.convert_waveform(
-                raw, self.sr.wave_format, scale=self.sr.wave_scale,
-                dc_shift=self.sr.wave_dc_shift,
-                noise_level=self.sr.wave_noise)
-            waves.append(wave)
-            counts.append(len(wave))
-            metrics.audio_seconds += n / sample_freq
+        # prefetching loader: disk reads + native waveform decode run in
+        # worker threads, overlapped with the device step (loader.py)
+        from phnrec_tpu.parallel.loader import PrefetchLoader
+        loader = PrefetchLoader(
+            local, fmt=self.sr.wave_format, scale=self.sr.wave_scale,
+            dc_shift=self.sr.wave_dc_shift,
+            noise_level=self.sr.wave_noise, sample_freq=sample_freq,
+            max_batch=self.max_batch)
 
         mlf = MLFWriter(mlf_path) if mlf_path and \
             jax.process_index() == 0 else None
         results: Dict[str, List[Label]] = {}
-        for batch_idxs in bucket_by_frames(counts, self.max_batch):
-            batch_waves = [waves[i] for i in batch_idxs]
-            res = self.bp.run(batch_waves)
-            for bi, i in enumerate(batch_idxs):
+        for batch in loader:
+            res = self.bp.run_padded(batch.wave, batch.n_samples)
+            metrics.audio_seconds += batch.audio_seconds
+            for bi, i in enumerate(batch.indices):
                 labels = res.labels[bi]
                 results[local[i]] = labels
                 metrics.n_frames += int(res.n_frames[bi])

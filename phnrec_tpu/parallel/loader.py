@@ -1,0 +1,153 @@
+"""Prefetching utterance loader: overlap host I/O with device compute.
+
+The reference reads each file synchronously inside its serial decode loop
+(LoadWaveform, srec.cpp:1384-1422 called from ProcessFile srec.cpp:1113).
+On TPU the device step is so much faster than disk+decode that a serial
+loop would leave the chip idle most of the time, so the loader pipelines:
+
+    disk read -> native waveform decode -> pad/bucket   (worker threads)
+                  -> bounded queue -> consumer (device)
+
+The waveform decode runs in the native C++ kernel (ctypes releases the
+GIL), so worker threads scale on real cores.  Batches come out in bucket
+order (few padded shapes => few XLA compilations), each as
+(indices, padded_wave [B, L], n_samples [B]).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from phnrec_tpu.io import audio
+
+
+@dataclass
+class LoadedBatch:
+    indices: List[int]          # positions in the source list
+    sources: List[str]
+    wave: np.ndarray            # [B, L] float32, zero-padded
+    n_samples: np.ndarray       # [B] int32 true lengths
+    audio_seconds: float
+
+
+class PrefetchLoader:
+    """Iterate bucketed, padded waveform batches with background prefetch.
+
+    Bucketing mirrors parallel.distributed.bucket_by_frames: lengths are
+    rounded up to `granularity` samples so at most a handful of padded
+    shapes reach the jitted pipeline.
+    """
+
+    def __init__(self, sources: Sequence[str], fmt: str = "lin16",
+                 scale: float = 1.0, dc_shift: float = 0.0,
+                 noise_level: float = 0.0, sample_freq: int = 8000,
+                 max_batch: int = 64, granularity: int = 512,
+                 prefetch: int = 2, n_workers: int = 4):
+        self.sources = list(sources)
+        self.fmt = fmt
+        self.scale = scale
+        self.dc_shift = dc_shift
+        self.noise_level = noise_level
+        self.sample_freq = sample_freq
+        self.max_batch = max_batch
+        self.granularity = granularity
+        self.prefetch = max(1, prefetch)
+        self.n_workers = max(1, n_workers)
+
+    # -- single-utterance load (worker side) ------------------------------
+    def _load_one(self, src: str) -> Tuple[np.ndarray, int]:
+        raw = audio.load_waveform_bytes(src)
+        return audio.convert_waveform(raw, self.fmt, scale=self.scale,
+                                      dc_shift=self.dc_shift,
+                                      noise_level=self.noise_level)
+
+    def _plan(self) -> List[List[int]]:
+        """Bucket by file size (known without reading data): size in bytes
+        maps monotonically to sample count for both raw formats."""
+        import os
+        bytes_per = 2 if self.fmt == "lin16" else 1
+        lengths = []
+        for s in self.sources:
+            try:
+                n = os.path.getsize(s) // bytes_per
+            except OSError:
+                n = 1
+            lengths.append(max(n, audio.MB_VECTORSIZE))
+        from phnrec_tpu.parallel.distributed import bucket_by_frames
+        return bucket_by_frames(lengths, self.max_batch, self.granularity)
+
+    def _build_batch(self, idxs: List[int]) -> LoadedBatch:
+        waves = []
+        n_samples = np.zeros(len(idxs), np.int32)
+        secs = 0.0
+        for k, i in enumerate(idxs):
+            w, n = self._load_one(self.sources[i])
+            waves.append(w)
+            n_samples[k] = w.shape[0]
+            secs += n / self.sample_freq
+        L = -(-max(w.shape[0] for w in waves) // self.granularity) \
+            * self.granularity
+        wave = np.zeros((len(idxs), L), np.float32)
+        for k, w in enumerate(waves):
+            wave[k, : w.shape[0]] = w
+        return LoadedBatch(indices=idxs,
+                           sources=[self.sources[i] for i in idxs],
+                           wave=wave, n_samples=n_samples,
+                           audio_seconds=secs)
+
+    # -- iteration ---------------------------------------------------------
+    def __iter__(self) -> Iterator[LoadedBatch]:
+        plan = self._plan()
+        if not plan:
+            return
+        out: "queue.Queue[object]" = queue.Queue(maxsize=self.prefetch)
+        slots: dict[int, Optional[LoadedBatch]] = {}
+        slot_lock = threading.Lock()
+        next_emit = [0]
+        task_q: "queue.Queue[Optional[Tuple[int, List[int]]]]" = queue.Queue()
+        for item in enumerate(plan):
+            task_q.put(item)
+        n_workers = min(self.n_workers, len(plan))
+        for _ in range(n_workers):
+            task_q.put(None)
+        errors: List[BaseException] = []
+
+        def worker():
+            while True:
+                item = task_q.get()
+                if item is None:
+                    return
+                bi, idxs = item
+                try:
+                    batch = self._build_batch(idxs)
+                except BaseException as e:  # surfaced on the consumer side
+                    errors.append(e)
+                    batch = None
+                # in-order release: batches may finish out of order but are
+                # emitted in plan order so shapes group for compilation
+                with slot_lock:
+                    slots[bi] = batch
+                    while next_emit[0] in slots:
+                        out.put(slots.pop(next_emit[0]))  # blocks = backpressure
+                        next_emit[0] += 1
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+        emitted = 0
+        while emitted < len(plan):
+            batch = out.get()
+            emitted += 1
+            if batch is None:
+                for t in threads:
+                    t.join()
+                raise errors[0]
+            yield batch
+        for t in threads:
+            t.join()

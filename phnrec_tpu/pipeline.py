@@ -140,14 +140,18 @@ class SpeechRec:
         """wf -> par: [T, nbanks] log mel (frame-normalized, NOT
         sentence-normalized — matching ProcessOffline, where sentence norm
         runs at the par->post boundary, srec.cpp:977-1000)."""
-        wave, _ = audio.convert_waveform(
-            raw, self.wave_format, scale=self.wave_scale,
-            dc_shift=self.wave_dc_shift, noise_level=self.wave_noise)
+        from phnrec_tpu.utils.profiling import TIMER
+        with TIMER.stage("wave_convert"):
+            wave, _ = audio.convert_waveform(
+                raw, self.wave_format, scale=self.wave_scale,
+                dc_shift=self.wave_dc_shift, noise_level=self.wave_noise)
         T = self.frontend.frame_count(len(wave))
-        par = self.frontend(jnp.asarray(wave), T)
-        par = normalization.frame_norm(par, self.frame_shift,
-                                       self.frame_floor)
-        return np.asarray(par)
+        with TIMER.stage("mel_frontend"):
+            par = self.frontend(jnp.asarray(wave), T)
+            par = normalization.frame_norm(par, self.frame_shift,
+                                           self.frame_floor)
+            out = np.asarray(par)
+        return out
 
     def posteriors_from_params(self, par: np.ndarray) -> np.ndarray:
         """par -> post, including sentence normalization and the
@@ -160,18 +164,24 @@ class SpeechRec:
         if par.shape[1] < n_p:
             raise ValueError("Invalid dimensionality of parameter vectors")
         par = par[:, :n_p]  # truncate extra columns (srec.cpp:988-997)
-        sentence = normalization.sentence_norm(jnp.asarray(par),
-                                               self.sent_norm)
-        post = self.estimator.posteriors(sentence)
-        return np.asarray(self.post_soft(post))
+        from phnrec_tpu.utils.profiling import TIMER
+        with TIMER.stage("posteriors"):
+            sentence = normalization.sentence_norm(jnp.asarray(par),
+                                                   self.sent_norm)
+            post = self.estimator.posteriors(sentence)
+            out = np.asarray(self.post_soft(post))
+        return out
 
     def decode_posteriors(self, post: np.ndarray) -> DecodeResult:
         """post -> str via the decoder softening + Viterbi."""
-        lp = self.dec_soft(jnp.asarray(post))
-        if self.stk_decoder is not None:
-            return DecodeResult(self.stk_decoder.decode(lp))
-        hist = viterbi_scan(self.loop_spec, lp)
-        return DecodeResult(backtrack(hist, self.phonemes))
+        from phnrec_tpu.utils.profiling import TIMER
+        with TIMER.stage("viterbi"):
+            lp = self.dec_soft(jnp.asarray(post))
+            if self.stk_decoder is not None:
+                return DecodeResult(self.stk_decoder.decode(lp))
+            hist = viterbi_scan(self.loop_spec, lp)
+        with TIMER.stage("backtrack"):
+            return DecodeResult(backtrack(hist, self.phonemes))
 
     # ------------------------------------------------------------------
     # staged file processing (ProcessFile, srec.cpp:1113-1199)

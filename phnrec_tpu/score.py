@@ -95,6 +95,24 @@ def align(ref: Sequence[str], hyp: Sequence[str]
     return counts, pairs
 
 
+def align_counts(ref: Sequence[str], hyp: Sequence[str]) -> AlignmentCounts:
+    """Counts-only alignment; dispatches to the native C++ DP kernel
+    (native/src/phnrec_native.cpp pn_align) when built.  Same costs and
+    backpointer tie order as align() — results are identical."""
+    from phnrec_tpu import native
+
+    if native.available():
+        import numpy as np
+        syms: Dict[str, int] = {}
+        rid = [syms.setdefault(s, len(syms)) for s in ref]
+        hid = [syms.setdefault(s, len(syms)) for s in hyp]
+        h, d, s, i = native.align(np.asarray(rid, np.int32),
+                                  np.asarray(hid, np.int32))
+        return AlignmentCounts(hits=h, dels=d, subs=s, ins=i)
+    counts, _ = align(ref, hyp)
+    return counts
+
+
 @dataclass
 class Scorer:
     """Accumulates counts across utterances; prints an HResults-like
@@ -105,7 +123,7 @@ class Scorer:
     n_correct_utts: int = 0
 
     def add(self, ref: Sequence[str], hyp: Sequence[str]) -> AlignmentCounts:
-        counts, _ = align(ref, hyp)
+        counts = align_counts(ref, hyp)
         self.total += counts
         self.n_utts += 1
         if counts.subs == counts.dels == counts.ins == 0:
