@@ -37,7 +37,7 @@ def main() -> None:
 
     from phnrec_tpu.decoder import phnloop
 
-    batch = 128
+    batch = 1024
     sr = SpeechRec(CZ_PKG)
     bp = BatchPipeline(sr)
 

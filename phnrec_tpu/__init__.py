@@ -23,7 +23,23 @@ Layer map (mirrors SURVEY.md section 1):
   cli.py                 phnrec CLI              (ref phnrec.cpp)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: first-time jit of the pipeline takes
+# tens of seconds on TPU (minutes for some precision modes); every later
+# process reuses the compiled binaries.  The reference has the same idea
+# at a smaller scale — the .nbin weight cache written beside ASCII weights
+# (nn.cpp:533-592).  Opt out with PHNREC_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("PHNREC_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+            _os.path.expanduser("~"), ".cache", "phnrec_tpu", "xla"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from phnrec_tpu.config import PhnRecConfig
 from phnrec_tpu.pipeline import SpeechRec

@@ -76,6 +76,14 @@ def _main(argv) -> int:
         return 1
     inpf = opt.get("-s", "wf")
     outpf = opt.get("-t", "str")
+    # format validation mirrors the reference's Init errors
+    # (srec.cpp:587,608: "Unknown source/target format")
+    if inpf not in ("wf", "par", "post"):
+        print(f"ERROR: Unknown source format - '{inpf}'", file=sys.stderr)
+        return 1
+    if outpf not in ("par", "post", "str"):
+        print(f"ERROR: Unknown target format - '{outpf}'", file=sys.stderr)
+        return 1
     verbose = "-v" in opt
 
     from phnrec_tpu.pipeline import SpeechRec

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from phnrec_tpu import precision
+
 
 @dataclass(frozen=True)
 class MelSpec:
@@ -187,10 +189,10 @@ class MelFrontend:
     def log_mel_from_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
         """[..., vs] frames -> [..., nbanks] log mel energies."""
         spec = self.spec
-        ri = jnp.dot(frames, self.dft, precision=jax.lax.Precision.HIGHEST)
+        ri = jnp.dot(frames, self.dft, precision=precision.get())
         re, im = jnp.split(ri, 2, axis=-1)
         power = re * re + im * im
-        en = jnp.dot(power, self.mel, precision=jax.lax.Precision.HIGHEST)
+        en = jnp.dot(power, self.mel, precision=precision.get())
         en = en[..., : spec.nbanks]
         if spec.take_log:
             # sLn guard: ln(x) for x > 0 else 0 (dspc.h:155-160)

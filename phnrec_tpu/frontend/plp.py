@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from phnrec_tpu import precision
+
 from phnrec_tpu.frontend.melbanks import (MelFrontend, MelSpec, mel_scale,
                                           mel_to_linear)
 
@@ -103,7 +105,7 @@ class PLPFrontend:
         e = jnp.power(e, jnp.float32(self.compress_fact))
         e = jnp.concatenate([e[..., :1], e, e[..., -1:]], axis=-1)
         ac = jnp.dot(e, self.idft,
-                     precision=jax.lax.Precision.HIGHEST)  # [..., order+1]
+                     precision=precision.get())  # [..., order+1]
 
         # Durbin recursion, unrolled over the static order (dspc.cpp:275).
         E = ac[..., 0]

@@ -50,17 +50,18 @@ def _fexp(y):
 
 
 def _kernel(x_ref, mean_ref, dev_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            out_ref, *, n_out: int, fast: bool, apply_softmax: bool):
+            out_ref, *, n_out: int, fast: bool, apply_softmax: bool,
+            prec: jax.lax.Precision):
     xn = (x_ref[:] - mean_ref[:]) * dev_ref[:]
     a1 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+                 precision=prec)
     a1 = a1 + b1_ref[:]
     if fast:
         h = 1.0 / (1.0 + _fexp(-a1))            # fexp_sigmoid fexp.h:33-38
     else:
         h = jax.nn.sigmoid(a1)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=prec)
     o = o + b2_ref[:]
     if not apply_softmax:
         out_ref[:] = o
@@ -78,10 +79,18 @@ def _kernel(x_ref, mean_ref, dev_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_out", "fast", "apply_softmax", "tile", "interpret"))
+    static_argnames=("n_out", "fast", "apply_softmax", "tile", "interpret",
+                     "prec"))
 def mlp_forward_fused(x, mean, dev, w1, b1, w2, b2, *, n_out: int,
                       fast: bool = True, apply_softmax: bool = True,
-                      tile: int = TILE_ROWS, interpret: bool = False):
+                      tile: int = TILE_ROWS, interpret: bool = False,
+                      prec=None):
+    if prec is None:
+        from phnrec_tpu import precision
+        prec = precision.get()
+    if prec == jax.lax.Precision.HIGH:
+        # Mosaic lowers only DEFAULT/HIGHEST dots; keep the accuracy side
+        prec = jax.lax.Precision.HIGHEST
     """[..., i_pad] -> [..., o_pad] through the fused kernel.
 
     All operands must already be padded to 128 multiples (mlp.to_device).
@@ -103,7 +112,7 @@ def mlp_forward_fused(x, mean, dev, w1, b1, w2, b2, *, n_out: int,
         (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, n_out=n_out, fast=fast,
-                          apply_softmax=apply_softmax),
+                          apply_softmax=apply_softmax, prec=prec),
         grid=(pl.cdiv(n, tile),),
         in_specs=[
             pl.BlockSpec((tile, i_p), lambda i: (i, 0),

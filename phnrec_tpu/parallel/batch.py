@@ -92,18 +92,8 @@ class BatchPipeline:
 
         def per_utt(p, n):
             p = normalization.sentence_norm(p, sr.sent_norm, n_valid=n)
-            # clip the STC context to the last VALID frame of this utterance
-            idx = jnp.clip(
-                est.assembler.context_indices(max_frames), 0, n - 1)
-            ctx = p[idx]
-            hc = est.assembler.half_context
-            left = jnp.einsum("tjb,jc->tbc", ctx[:, :hc, :],
-                              est.assembler.m_left,
-                              precision=jax.lax.Precision.HIGHEST)
-            right = jnp.einsum("tjb,jc->tbc", ctx[:, hc - 1:, :],
-                               est.assembler.m_right,
-                               precision=jax.lax.Precision.HIGHEST)
-            return left.reshape(max_frames, -1), right.reshape(max_frames, -1)
+            # slice-based STC assembly, clamped to the last VALID frame
+            return est.assembler(p, n_valid=n)
 
         left, right = jax.vmap(per_utt)(par, n_frames)
 

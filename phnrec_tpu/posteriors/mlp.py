@@ -22,8 +22,7 @@ import numpy as np
 
 from phnrec_tpu.io.weights import MLPParams
 from phnrec_tpu.posteriors import fexp
-
-_HIGH = jax.lax.Precision.HIGHEST
+from phnrec_tpu import precision
 
 
 def _pad_to(x: np.ndarray, rows: int, cols: int | None = None) -> np.ndarray:
@@ -114,8 +113,8 @@ def forward(net: MLPDevice, x: jnp.ndarray, fast: bool = True,
                               apply_softmax=apply_softmax)
         return o[..., : net.n_out]
     xn = (x - net.mean) * net.dev
-    h = fexp.sigmoid(jnp.dot(xn, net.w1, precision=_HIGH) + net.b1, fast)
-    o = jnp.dot(h, net.w2, precision=_HIGH) + net.b2
+    h = fexp.sigmoid(jnp.dot(xn, net.w1, precision=precision.get()) + net.b1, fast)
+    o = jnp.dot(h, net.w2, precision=precision.get()) + net.b2
     o = o[..., : net.n_out]
     if apply_softmax:
         o = fexp.softmax(o, fast)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_HIGH = jax.lax.Precision.HIGHEST
+from phnrec_tpu import precision
 
 
 def dct_c0_matrix(n: int, n_coefs: int, add_c0: bool) -> np.ndarray:
@@ -77,16 +77,42 @@ class LCRCAssembler:
         j = jnp.arange(self.spec.trap_len)[None, :]
         return jnp.clip(t + j - shift, 0, num_frames - 1)
 
-    def __call__(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def context(self, params: jnp.ndarray,
+                n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+        """[T, B] mel params -> [T, trap_len, B] clamped sliding context.
+
+        Gather-free formulation (row gathers are slow on TPU): rows at or
+        beyond ``n_valid`` are first overwritten with row ``n_valid - 1``
+        (the repeat-last-frame tail, srec.cpp:877-927), then the buffer is
+        edge-replicated by ``shift`` rows on both ends and the 31 context
+        columns become 31 static shifted slices — pure copies that XLA
+        fuses into the downstream GEMM.
+        """
+        T = params.shape[0]
+        shift = (self.spec.trap_len - 1) // 2
+        p = params
+        if n_valid is not None:
+            last = p[jnp.maximum(n_valid - 1, 0)]
+            mask = (jnp.arange(T) < n_valid)[:, None]
+            p = jnp.where(mask, p, last[None, :])
+        top = jnp.repeat(p[:1], shift, axis=0)
+        bot = jnp.repeat(p[-1:], shift, axis=0)
+        p3 = jnp.concatenate([top, p, bot], axis=0)      # [T + 2*shift, B]
+        return jnp.stack([p3[o : o + T] for o in range(self.spec.trap_len)],
+                         axis=1)
+
+    def __call__(self, params: jnp.ndarray,
+                 n_valid: jnp.ndarray | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """[T, nbanks] mel params -> (left, right) band-net inputs
-        [T, nbanks*n_coefs] each, bank-major feature layout."""
-        spec = self.spec
+        [T, nbanks*n_coefs] each, bank-major feature layout.  ``n_valid``
+        clamps the context to the last valid frame of a padded utterance."""
         T = params.shape[0]
         hc = self.half_context
-        ctx = params[self.context_indices(T)]          # [T, 31, B]
+        ctx = self.context(params, n_valid)            # [T, 31, B]
         left = ctx[:, :hc, :]                          # cols 0..15
         right = ctx[:, hc - 1 :, :]                    # cols 15..30
         # [T, 16, B] -> [T, B, 16] @ [16, C] -> [T, B, C] -> [T, B*C]
-        fl = jnp.einsum("tjb,jc->tbc", left, self.m_left, precision=_HIGH)
-        fr = jnp.einsum("tjb,jc->tbc", right, self.m_right, precision=_HIGH)
+        fl = jnp.einsum("tjb,jc->tbc", left, self.m_left, precision=precision.get())
+        fr = jnp.einsum("tjb,jc->tbc", right, self.m_right, precision=precision.get())
         return (fl.reshape(T, -1), fr.reshape(T, -1))

@@ -32,6 +32,8 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from phnrec_tpu import precision
+
 from phnrec_tpu import normalization
 from phnrec_tpu.decoder import phnloop
 from phnrec_tpu.io import audio
@@ -214,10 +216,10 @@ def _make_posterior_block_fn(sr: SpeechRec):
         from phnrec_tpu.posteriors import mlp
         left = jnp.einsum("tjb,jc->tbc", win[:, :hc, :],
                           est.assembler.m_left,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=precision.get())
         right = jnp.einsum("tjb,jc->tbc", win[:, hc - 1 :, :],
                            est.assembler.m_right,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=precision.get())
         lo = mlp.forward(est.band[0], left.reshape(F, -1), est.fast_exp)
         ro = mlp.forward(est.band[1], right.reshape(F, -1), est.fast_exp)
         m = jnp.concatenate([lo, ro], axis=-1)
