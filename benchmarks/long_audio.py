@@ -1,0 +1,88 @@
+"""Long-audio chunked streaming benchmark (BASELINE.json config 4).
+
+Synthesizes HOURS of audio and decodes it through the streaming pipeline
+(chunked STC with 15-frame halos, carried Viterbi state — O(1) device
+memory in audio length, the TPU equivalent of the reference's unbounded
+streaming loop srec.cpp:793-849).  Decoding is block-batched: BLOCK frames
+of mel context at a time through the posterior stack + Viterbi block scan.
+
+Usage:  python benchmarks/long_audio.py [hours] [pkg_dir]
+Prints one JSON line with audio-seconds/s and history memory use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CZ_PKG = "/root/reference/PHN_CZ_SPDAT_LCRC_N1500"
+
+
+def synth_audio(seconds: float, rate: int, seed: int = 0) -> bytes:
+    """Speech-shaped noise: AR(1)-filtered noise with a slow AM envelope
+    so the decoder sees realistic level variation (deterministic)."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * rate)
+    e = rng.normal(0.0, 1.0, n).astype(np.float32)
+    # AR(1) smoothing via FFT convolution with a truncated impulse
+    # response (exact to float precision at 256 taps for a=0.95)
+    a = 0.95
+    ir = (a ** np.arange(256)).astype(np.float32)
+    out = np.fft.irfft(np.fft.rfft(e, n + 256) * np.fft.rfft(ir, n + 256)
+                       )[:n].astype(np.float32)
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * (np.arange(n) / rate) / 3.1)
+    out = out * env.astype(np.float32)
+    out = out / np.abs(out).max() * 8000.0
+    return out.astype("<i2").tobytes()
+
+
+def main() -> None:
+    hours = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    pkg = sys.argv[2] if len(sys.argv) > 2 else CZ_PKG
+
+    from phnrec_tpu.pipeline import SpeechRec
+    from phnrec_tpu.streaming import StreamingRecognizer
+
+    sr = SpeechRec(pkg)
+    rate = sr.cfg.get_int("source", "sample_freq")
+    seconds = hours * 3600.0
+    raw = synth_audio(seconds, rate)
+
+    block = int(os.environ.get('LONG_AUDIO_BLOCK', '4096'))
+    chunk_bytes = rate * 2 * 60          # 60 s chunks, lin16
+
+    # warmup: compile the block-shaped programs on a throwaway recognizer
+    # (compiles are per-process on this backend; steady-state throughput
+    # is the meaningful long-audio number)
+    warm = StreamingRecognizer(sr, block_frames=block)
+    for off in range(0, min(len(raw), 3 * chunk_bytes), chunk_bytes):
+        warm.process(raw[off : off + chunk_bytes])
+    warm.finish()
+
+    rec = StreamingRecognizer(sr, block_frames=block)
+    t0 = time.perf_counter()
+    for off in range(0, len(raw), chunk_bytes):
+        rec.process(raw[off : off + chunk_bytes])
+    labels = rec.finish()
+    dt = time.perf_counter() - t0
+
+    hist_bytes = sum(
+        sum(a.nbytes for a in chunks) for chunks in rec._hist)
+    print(json.dumps({
+        "metric": "long_audio_streaming_audio_sec_per_s",
+        "hours": hours,
+        "value": round(seconds / dt, 2),
+        "unit": "audio-seconds/s/chip",
+        "n_labels": len(labels),
+        "host_history_mb": round(hist_bytes / 1e6, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -549,6 +549,12 @@ class StkNetworkDecoder:
         self._build(wpenalty)
 
     def decode(self, log_post) -> List[Label]:
+        # global <InputXform>: transform observations before scoring
+        # (ModelSet::UpdateStacks per ViterbiStep, Viterbi.cc:2068 — here
+        # the whole utterance is transformed at once)
+        if self.model_set.input_xform is not None:
+            from phnrec_tpu.io.xform import apply_instance
+            log_post = apply_instance(self.model_set.input_xform, log_post)
         if self.mode == "kws":
             wv, fv, st = self.decoder.kws_scan(log_post)
             keywords = [self.compiled.sink_names[s]

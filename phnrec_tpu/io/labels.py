@@ -140,7 +140,15 @@ class MLFIndex:
             if cand in self._offsets:
                 return cand
         stem = os.path.splitext(base)[0]
-        return self._stems.get(stem)
+        hit = self._stems.get(stem)
+        if hit is not None:
+            return hit
+        # general wildcard entries, filmatch semantics (filmatch.C)
+        from phnrec_tpu.utils.filmatch import is_pattern, match
+        for entry in self._offsets:
+            if is_pattern(entry) and match(entry, name) is not None:
+                return entry
+        return None
 
     def get(self, name: str) -> List[Label]:
         key = self._resolve(name)

@@ -50,6 +50,11 @@ class ModelSet:
     vec_size: int
     pdf_obs_vec: bool
     hmms: Dict[str, HmmDef]
+    # feature-transform machinery (Models.h:891-1028): ~x / ~j macros and
+    # the global <InputXform>, applied to observations before scoring
+    xforms: Optional[Dict] = None
+    xform_instances: Optional[Dict] = None
+    input_xform: Optional[object] = None
 
 
 class _Tok:
@@ -205,4 +210,63 @@ def parse_mmf(path: str) -> ModelSet:
             hmms[name] = hmm
         # ignore anything else silently (macros we don't model)
 
-    return ModelSet(vec_size=vec_size, pdf_obs_vec=pdf_obs_vec, hmms=hmms)
+    from phnrec_tpu.io.xform import parse_mmf_xforms
+
+    xmacros, jmacros, input_xform = parse_mmf_xforms(path)
+    return ModelSet(vec_size=vec_size, pdf_obs_vec=pdf_obs_vec, hmms=hmms,
+                    xforms=xmacros or None,
+                    xform_instances=jmacros or None,
+                    input_xform=input_xform)
+
+
+# -- MMF writer (Models_IO.cc WriteMmf / WriteHmm / WriteState) -------------
+
+def _fmt(v: float) -> str:
+    return f"{float(v):.6e}"
+
+
+def write_mmf(models: ModelSet, path: str) -> None:
+    """Write a ModelSet back to HTK MMF text, round-trippable through
+    parse_mmf — the training loop's persistence step (the reference's
+    ModelSet::WriteMmf, Models_IO.cc:1900+).  Transition matrices are
+    written in probability domain (exp of the stored logs; LOG_0 -> 0)."""
+    import numpy as np
+
+    with open(path, "w") as f:
+        opts = f"~o <VecSize> {models.vec_size}"
+        opts += " <PDFObsVec>" if models.pdf_obs_vec else " <DIAGC>"
+        f.write(opts + "\n")
+        for name, h in models.hmms.items():
+            f.write(f'~h "{name}"\n<BeginHMM>\n')
+            f.write(f"<NumStates> {h.n_states}\n")
+            for i in range(h.n_states - 2):
+                f.write(f"<State> {i + 2}")
+                oc = h.obs_coefs[i]
+                g = h.gmm_states[i]
+                if oc is not None:
+                    f.write(f" <ObsCoef> {oc + 1}\n")
+                elif g is not None:
+                    f.write("\n")
+                    m = g.weights.shape[0]
+                    if m > 1:
+                        f.write(f"<NumMixes> {m}\n")
+                    for k in range(m):
+                        if m > 1:
+                            f.write(f"<Mixture> {k + 1} {_fmt(g.weights[k])}\n")
+                        d = g.means.shape[1]
+                        f.write(f"<Mean> {d}\n")
+                        f.write(" ".join(_fmt(v) for v in g.means[k]) + "\n")
+                        f.write(f"<Variance> {d}\n")
+                        f.write(" ".join(_fmt(v) for v in g.variances[k])
+                                + "\n")
+                        f.write(f"<GConst> {_fmt(g.gconsts[k])}\n")
+                else:
+                    raise ValueError(
+                        f"HMM {name!r} state {i + 2} has no output pdf")
+            n = h.n_states
+            f.write(f"<TransP> {n}\n")
+            prob = np.where(h.log_transp > LOG_0,
+                            np.exp(np.minimum(h.log_transp, 0.0)), 0.0)
+            for r in range(n):
+                f.write(" ".join(_fmt(v) for v in prob[r]) + "\n")
+            f.write("<EndHMM>\n")

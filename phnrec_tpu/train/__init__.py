@@ -22,7 +22,9 @@ utterance weighting).
 from phnrec_tpu.train.graph import TrainGraph, compile_transcription
 from phnrec_tpu.train.fb import forward_backward, viterbi_align
 from phnrec_tpu.train.accum import Accumulators, make_accumulators, \
-    accumulate_utterance, merge_accumulators, psum_accumulators
+    accumulate_utterance, merge_accumulators, psum_accumulators, \
+    save_accumulators, load_accumulators
+from phnrec_tpu.train.mbr import accumulate_utterance_mbr, reference_hmm_ids
 from phnrec_tpu.train.update import update_ml, update_mmi, mce_weight, \
     apply_update
 
@@ -31,5 +33,7 @@ __all__ = [
     "forward_backward", "viterbi_align",
     "Accumulators", "make_accumulators", "accumulate_utterance",
     "merge_accumulators", "psum_accumulators",
+    "save_accumulators", "load_accumulators",
+    "accumulate_utterance_mbr", "reference_hmm_ids",
     "update_ml", "update_mmi", "mce_weight", "apply_update",
 ]

@@ -196,3 +196,20 @@ def accumulate_utterance(graph: TrainGraph, acc: Accumulators,
         n_frames=weight * n.astype(jnp.float32),
         total_log_like=log_like, n_utts=jnp.float32(1.0))
     return merge_accumulators(acc, upd)
+
+
+def save_accumulators(acc: Accumulators, path: str) -> None:
+    """Persist accumulators for parallel/distributed training (STK dumps
+    per-job accumulator files consumed by UpdateFromAccums(pOutputDir),
+    Models.h:473); merge shards with merge_accumulators after loading."""
+    arrs = {}
+    for name, a in zip(Accumulators._fields, acc):
+        if a is not None:
+            arrs[name] = np.asarray(a)
+    np.savez(path, **arrs)
+
+
+def load_accumulators(path: str) -> Accumulators:
+    z = np.load(path)
+    return Accumulators(*(jnp.asarray(z[name]) if name in z else None
+                          for name in Accumulators._fields))

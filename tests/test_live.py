@@ -1,0 +1,46 @@
+"""Live recognition frontend (run_live, reference RunLive srec.cpp:1438-1490
++ live_callback output formats phnrec.cpp:71-110)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import package_dir
+from phnrec_tpu.io.labels import Label
+from phnrec_tpu.live import format_live, run_live
+from phnrec_tpu.pipeline import SpeechRec
+
+
+def test_format_live_variants():
+    lab = Label(69, 75, "spk", -71.17)
+    assert format_live(lab, "str") == " spk"
+    assert format_live(lab, "strlen") == " spk(7)"
+    assert format_live(lab, "lab").startswith("6900000 7500000 spk")
+    with pytest.raises(ValueError):
+        format_live(lab, "bogus")
+
+
+def test_run_live_file_replay(reference_dir, tmp_path):
+    """Replay a raw file through the live path; the emitted stream must
+    equal the final labels, and those must equal the offline decode.
+    Uses the EN package: its config has no sentence norm, so the online
+    and offline paths are comparable (with sent_mean_norm the reference's
+    two paths legitimately differ: online norm vs sentence norm,
+    srec.cpp:793-849 vs 1492-1592)."""
+    raw = open(f"{reference_dir}/test.raw", "rb").read()[: 16000 * 2 * 3]
+    src = tmp_path / "live.raw"
+    src.write_bytes(raw)
+    sr = SpeechRec(package_dir("en"))
+    out = []
+    labels = run_live(sr, out_format="str", source=str(src),
+                      emit=out.append)
+    assert labels, "live decode produced no labels"
+    text = "".join(out).split()
+    names = [l.name for l in labels]
+    # emitted stream matches the returned labels
+    assert text == names
+
+    from phnrec_tpu.io import audio
+    res = sr.process_offline(
+        "wf", "str", audio.load_waveform_bytes(str(src)))
+    offline = [l.name for l in res.labels]
+    assert names == offline
