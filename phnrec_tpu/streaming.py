@@ -138,17 +138,20 @@ class StreamingRecognizer:
         # drop rows whose center precedes frame 0 (unprimed gate)
         first_center = self._n_mel - self.trap_shift
         self._n_mel += n_valid
-        lp = np.asarray(lp)[:n_valid]
+        # stay on device end-to-end: the host never blocks on this block's
+        # result, so consecutive blocks pipeline through dispatch (the D2H
+        # happens once, at results()/finish())
+        lp = lp[:n_valid]
         if first_center < 0:
-            skip = min(-first_center, lp.shape[0])
+            skip = min(-first_center, int(lp.shape[0]))
             lp = lp[skip:]
         if lp.shape[0] == 0:
             return
         self._carry, hist = phnloop.viterbi_block(
-            sr.loop_spec, self._carry, jnp.asarray(lp)[None])
+            sr.loop_spec, self._carry, lp[None])
         for i, a in enumerate(hist):
-            self._hist[i].append(np.asarray(a)[0])
-        self._n_decoded += lp.shape[0]
+            self._hist[i].append(a[0])
+        self._n_decoded += int(lp.shape[0])
 
     def _flush_blocks(self) -> None:
         self._drain()
@@ -175,7 +178,8 @@ class StreamingRecognizer:
         if not self._hist[0]:
             return []
         hist = phnloop.History(
-            *(np.concatenate(h)[: self._n_decoded] for h in self._hist))
+            *(np.concatenate([np.asarray(a) for a in h])[: self._n_decoded]
+              for h in self._hist))
         labels = phnloop.backtrack(hist, self.sr.phonemes)
         if settled_only:
             tp = self.sr.cfg.get_int("decoder", "time_pruning")
