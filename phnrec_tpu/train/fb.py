@@ -103,10 +103,12 @@ def forward_backward(log_A: jnp.ndarray, log_entry: jnp.ndarray,
             alpha[:, None] + log_A, axis=0)
         new = jnp.where(t == 0, log_entry, prop) + b_t
         new = jnp.where(t < n, new, alpha)
-        return new, jnp.where(t < n, new, jnp.full((S,), NEG_INF))
+        return new, jnp.where(t < n, new, jnp.full((S,), NEG_INF, jnp.float32))
 
-    alpha_last, log_alpha = jax.lax.scan(
-        fwd_step, jnp.full((S,), NEG_INF), (ts, log_b))
+    # init derived from the data so its sharding/varying type matches the
+    # scan outputs under shard_map (scan carries must type-match exactly)
+    init = jnp.full_like(log_b[0], NEG_INF)
+    alpha_last, log_alpha = jax.lax.scan(fwd_step, init, (ts, log_b))
     log_like = jax.scipy.special.logsumexp(alpha_last + log_exit)
 
     def bwd_step(beta_next, inp):
@@ -115,11 +117,12 @@ def forward_backward(log_A: jnp.ndarray, log_entry: jnp.ndarray,
             log_A + (b_next + beta_next)[None, :], axis=1)
         new = jnp.where(t == n - 1, log_exit,
                         jnp.where(t < n - 1, prop, beta_next))
-        return new, jnp.where(t < n, new, jnp.full((S,), NEG_INF))
+        return new, jnp.where(t < n, new, jnp.full((S,), NEG_INF, jnp.float32))
 
     b_shift = jnp.concatenate([log_b[1:], log_b[-1:]], axis=0)
     _, log_beta_rev = jax.lax.scan(
-        bwd_step, jnp.full((S,), NEG_INF), (ts[::-1], b_shift[::-1]))
+        bwd_step, jnp.full_like(log_b[0], NEG_INF),
+        (ts[::-1], b_shift[::-1]))
     log_beta = log_beta_rev[::-1]
     return FBResult(log_alpha, log_beta, log_like)
 
@@ -145,10 +148,10 @@ def viterbi_align(log_A: jnp.ndarray, log_entry: jnp.ndarray,
         new = jnp.where(t == 0, log_entry, prop) + b_t
         new = jnp.where(t < n, new, alpha)
         return new, (jnp.where(t < n, bp, 0).astype(jnp.int32),
-                     jnp.where(t < n, new, jnp.full((S,), NEG_INF)))
+                     jnp.where(t < n, new, jnp.full((S,), NEG_INF, jnp.float32)))
 
     alpha_last, (bps, _) = jax.lax.scan(
-        fwd_step, jnp.full((S,), NEG_INF), (ts, log_b))
+        fwd_step, jnp.full_like(log_b[0], NEG_INF), (ts, log_b))
     final = alpha_last + log_exit
     last_state = jnp.argmax(final).astype(jnp.int32)
     log_like = final[last_state]

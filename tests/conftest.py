@@ -4,7 +4,12 @@ multi-chip path separately via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the environment's sitecustomize registers the axon TPU
+# plugin and overrides platform selection programmatically, so neither
+# the env var nor a setdefault works — only a config.update after import
+# does.  Without this the whole suite silently runs single-device on the
+# TPU tunnel and every mesh test degrades to 1 device.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,11 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
-# persistent XLA compilation cache: the CPU backend here compiles some
-# scans slowly; cache hits make repeated suite runs fast
 try:
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compilation cache: cache hits make repeated suite
+    # runs fast
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
