@@ -32,14 +32,21 @@ import os as _os
 # process reuses the compiled binaries.  The reference has the same idea
 # at a smaller scale — the .nbin weight cache written beside ASCII weights
 # (nn.cpp:533-592).  Opt out with PHNREC_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("PHNREC_TPU_NO_COMPILE_CACHE"):
-    import jax as _jax
+import jax as _jax
 
+if not _os.environ.get("PHNREC_TPU_NO_COMPILE_CACHE"):
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
             _os.path.expanduser("~"), ".cache", "phnrec_tpu", "xla"))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Backend override that actually works even when a site plugin hijacks
+# platform selection programmatically (JAX_PLATFORMS alone can be
+# ignored): PHNREC_TPU_PLATFORM=cpu forces the CPU backend, etc.
+if _os.environ.get("PHNREC_TPU_PLATFORM"):
+    _jax.config.update("jax_platforms",
+                       _os.environ["PHNREC_TPU_PLATFORM"])
 
 from phnrec_tpu.config import PhnRecConfig
 from phnrec_tpu.pipeline import SpeechRec
