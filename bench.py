@@ -64,11 +64,16 @@ def main() -> None:
     labels = one_iter()  # warm up / compile
     assert len(labels[0]) > 0
 
-    iters = 5
-    t0 = time.perf_counter()
+    # median of per-iteration times: the dev tunnel to the chip has
+    # multi-second dispatch stalls on some iterations; the median is the
+    # honest sustained rate, robust to one stalled round trip
+    iters = 7
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         labels = one_iter()
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     total_audio = batch * audio_seconds_per_utt
     value = total_audio / dt

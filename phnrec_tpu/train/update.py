@@ -79,11 +79,11 @@ def _update_trans(index: ModelIndex, trans: np.ndarray,
 
 
 def update_ml(index: ModelIndex, acc: Accumulators, old_transp: list,
-              min_occ: float = 1e-2, var_floor: float = 1e-4,
+              var_floor: float = 1e-4,
               weight_floor: float = 1e-5) -> UpdatedParams:
-    """Maximum-likelihood M-step.  States/mixtures with occupancy below
-    ``min_occ`` keep their old parameters (caller merges via
-    apply_update, which skips rows whose occ gate failed)."""
+    """Maximum-likelihood M-step.  Low-occupancy gating happens at
+    apply_update (its ``min_occ``), which keeps old parameters for
+    mixtures whose occupancy is below the gate."""
     acc = _np(acc)
     weights = means = variances = None
     if acc.sum_x is not None and index.gmm_weights is not None:
