@@ -26,8 +26,31 @@ CZ_PKG = "/root/reference/PHN_CZ_SPDAT_LCRC_N1500"
 TEST_RAW = "/root/reference/test.raw"
 
 
+GOLDEN_REC = "/root/reference/test.rec.org"
+
+
+def _golden_segments():
+    """(start_frame, end_frame, phoneme) triples from the reference's
+    committed golden output for test.raw + the CZ package."""
+    segs = []
+    for line in open(GOLDEN_REC):
+        parts = line.split()
+        if len(parts) >= 3:
+            segs.append((int(parts[0]) // 100000, int(parts[1]) // 100000,
+                         parts[2]))
+    return segs
+
+
 def main() -> None:
+    import os
+
     import jax
+
+    from phnrec_tpu import precision
+
+    # throughput mode: fewer bf16 passes per f32 GEMM; golden strings +
+    # boundaries stay identical in every mode (asserted below each run)
+    precision.set_mode(os.environ.get("PHNREC_TPU_PRECISION", "high"))
 
     from phnrec_tpu.io.audio import convert_waveform
     from phnrec_tpu.parallel.batch import BatchPipeline
@@ -56,13 +79,16 @@ def main() -> None:
     nf_dev = jax.device_put(jnp.asarray(n_frames))
 
     def one_iter():
-        hist = bp._core(w_dev, nf_dev, max_frames)
-        hist = jax.tree_util.tree_map(np.asarray, hist)  # D2H
-        return phnloop.backtrack_batch(
-            phnloop.History(*hist), n_frames, sr.phonemes)
+        segs = bp._core(w_dev, nf_dev, max_frames)  # incl. device backtrack
+        segs = phnloop.Segments(*jax.tree_util.tree_map(np.asarray, segs))
+        return phnloop.labels_from_segments(segs, n_frames, sr.phonemes)
 
     labels = one_iter()  # warm up / compile
-    assert len(labels[0]) > 0
+    golden = _golden_segments()
+    got = [(l.start_frames, l.end_frames, l.name) for l in labels[0]]
+    assert got == golden, (
+        f"decode does not match golden {GOLDEN_REC}: got {got[:5]}... "
+        f"want {golden[:5]}...")
 
     # median of per-iteration times: the dev tunnel to the chip has
     # multi-second dispatch stalls on some iterations; the median is the

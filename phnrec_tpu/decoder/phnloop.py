@@ -203,3 +203,104 @@ def backtrack_batch(hist: History, n_frames: np.ndarray,
 def decode(spec: PhnLoopSpec, log_post: jnp.ndarray,
            phonemes: List[str]) -> List[Label]:
     return backtrack(viterbi_scan(spec, log_post), phonemes)
+
+
+class Segments(NamedTuple):
+    """Compacted device-side backtrack output, segments in REVERSE time
+    order (segment 0 ends at n_frames).  Shapes [B] / [B, Smax]."""
+
+    count: jnp.ndarray      # [B] number of valid segments
+    phn: jnp.ndarray        # [B, Smax] int8 phoneme id
+    start: jnp.ndarray      # [B, Smax] start frame
+    alpha_end: jnp.ndarray  # [B, Smax] path score at the segment's last frame
+
+
+def max_segments(spec: PhnLoopSpec, max_frames: int) -> int:
+    """A settled phoneme must traverse all S emitting states, one frame
+    each minimum, so an utterance of T frames has at most ceil(T/S)
+    segments (plus 1 slack for the t=0 entry quirk)."""
+    return max_frames // spec.n_states + 1
+
+
+def backtrack_device(spec: PhnLoopSpec, hist: History,
+                     n_frames: jnp.ndarray, unroll: int = 8) -> Segments:
+    """PhnDec::Done (phndec.cpp:236-302) as an on-device reverse scan.
+
+    The host replay chases (prev_phn, length) pointers backward with
+    data-dependent hops; on TPU that becomes a fixed-length reverse scan
+    over frames carrying (end, phn): frame t is a segment boundary iff
+    t == end-1, at which point the record is emitted and the carry hops to
+    (start, prev_phn[t]).  Emitted records are compacted into [B, Smax]
+    arrays by an on-device scatter, so only ~7 bytes/segment leave the
+    chip instead of the full 8 bytes/frame history — the D2H transfer, not
+    compute, dominates batch decode round trips.
+    """
+    B, T = hist.max_phn.shape
+    Smax = max_segments(spec, T)
+    start_dtype = jnp.int16 if T < 2 ** 15 else jnp.int32
+    bidx = jnp.arange(B)
+
+    end0 = n_frames.astype(jnp.int32)
+    phn0 = hist.max_phn[bidx, jnp.maximum(end0 - 1, 0)].astype(jnp.int32)
+    phn0 = jnp.where(end0 > 0, phn0, -1)
+
+    # reverse-time, time-major inputs: step i handles frame t = T-1-i
+    ts = jnp.arange(T - 1, -1, -1)
+    prev_r = jnp.moveaxis(hist.prev_phn[:, ::-1], 1, 0)
+    len_r = jnp.moveaxis(hist.length[:, ::-1], 1, 0)
+    alpha_r = jnp.moveaxis(hist.alpha[:, ::-1], 1, 0)
+
+    def step(carry, inp):
+        end, phn, k = carry
+        t, prev_t, len_t, alpha_t = inp
+        hit = (t == end - 1) & (phn >= 0)
+        start = end - len_t.astype(jnp.int32)
+        out = (jnp.where(hit, k, Smax), phn.astype(jnp.int8),
+               start.astype(start_dtype), alpha_t)
+        end = jnp.where(hit, start, end)
+        phn = jnp.where(hit, prev_t.astype(jnp.int32), phn)
+        return (end, phn, k + hit.astype(jnp.int32)), out
+
+    (_, _, count), (idx, phn, start, alpha_end) = jax.lax.scan(
+        step, (end0, phn0, jnp.zeros(B, jnp.int32)),
+        (ts, prev_r, len_r, alpha_r), unroll=unroll)
+
+    # compact: each step wrote to a unique k per row (Smax = out of range
+    # = dropped for non-boundary steps)
+    rows = jnp.broadcast_to(bidx[None, :], idx.shape)
+    return Segments(
+        count=count,
+        phn=jnp.zeros((B, Smax), jnp.int8).at[rows, idx].set(
+            phn, mode="drop"),
+        start=jnp.zeros((B, Smax), start_dtype).at[rows, idx].set(
+            start, mode="drop"),
+        alpha_end=jnp.zeros((B, Smax), jnp.float32).at[rows, idx].set(
+            alpha_end, mode="drop"),
+    )
+
+
+def labels_from_segments(segs: Segments, n_frames: np.ndarray,
+                         phonemes: List[str]) -> List[List[Label]]:
+    """Host-side formatting of device-backtracked segments (reverse time
+    order) into per-utterance Label lists.  Segment j's end frame is
+    segment j-1's start (j=0 ends at n_frames); its like is the alpha
+    delta to the previous-in-time segment (initial mPrevAlpha = 0)."""
+    counts = np.asarray(segs.count).tolist()
+    phn = np.asarray(segs.phn).tolist()
+    start = np.asarray(segs.start).tolist()
+    alpha_end = np.asarray(segs.alpha_end, dtype=np.float64)
+    # like[j] = alpha_end[j] - alpha_end[j+1] in emission order; slots past
+    # count are zero-filled by the scatter, so j = count-1 (first in time)
+    # correctly subtracts the reference's initial mPrevAlpha = 0
+    likes = (alpha_end - np.concatenate(
+        [alpha_end[:, 1:], np.zeros((alpha_end.shape[0], 1))], 1)).tolist()
+    ends_of = np.asarray(n_frames).tolist()
+    out: List[List[Label]] = []
+    for b, k in enumerate(counts):
+        row_s, row_p, row_l = start[b], phn[b], likes[b]
+        out.append([
+            Label(row_s[j], row_s[j - 1] if j else ends_of[b],
+                  phonemes[row_p[j]], row_l[j])
+            for j in range(k - 1, -1, -1)
+        ])
+    return out

@@ -81,7 +81,8 @@ class BatchPipeline:
     @partial(jax.jit, static_argnums=(0, 3))
     def _core(self, wave: jnp.ndarray, n_frames: jnp.ndarray,
               max_frames: int):
-        """[B, L] waves + [B] frame counts -> histories + log-posteriors."""
+        """[B, L] waves + [B] frame counts -> compacted Segments (the full
+        wav->mel->LCRC->MLPs->Viterbi->backtrack program on device)."""
         sr = self.sr
         fe = sr.frontend
         est = sr.estimator
@@ -106,7 +107,10 @@ class BatchPipeline:
 
         post = sr.post_soft(post)
         lp = sr.dec_soft(post)
-        return phnloop.viterbi_scan_batch(sr.loop_spec, lp)
+        hist = phnloop.viterbi_scan_batch(sr.loop_spec, lp)
+        # backtrack stays on device: only ~7 bytes/segment cross PCIe/host
+        # instead of the 8 bytes/frame history (D2H dominates round trips)
+        return phnloop.backtrack_device(sr.loop_spec, hist, n_frames)
 
     # -- public API ------------------------------------------------------
     def run_padded(self, wave: np.ndarray, n_samples: np.ndarray
@@ -119,10 +123,10 @@ class BatchPipeline:
         if self._sharding is not None:
             w = jax.device_put(w, self._sharding)
             nf = jax.device_put(nf, self._sharding)
-        hist = self._core(w, nf, max_frames)
-        hist = jax.tree_util.tree_map(np.asarray, hist)
-        labels = phnloop.backtrack_batch(
-            phnloop.History(*hist), n_frames, self.sr.phonemes)
+        segs = self._core(w, nf, max_frames)
+        segs = phnloop.Segments(*jax.tree_util.tree_map(np.asarray, segs))
+        labels = phnloop.labels_from_segments(
+            segs, n_frames, self.sr.phonemes)
         return BatchResult(labels=labels, n_frames=n_frames)
 
     def run(self, waves: Sequence[np.ndarray]) -> BatchResult:
