@@ -80,7 +80,7 @@ def main() -> None:
 
     def one_iter():
         segs = bp._core(w_dev, nf_dev, max_frames)  # incl. device backtrack
-        segs = phnloop.Segments(*jax.tree_util.tree_map(np.asarray, segs))
+        segs = phnloop.fetch_segments(segs)         # counts, then used slots
         return phnloop.labels_from_segments(segs, n_frames, sr.phonemes)
 
     labels = one_iter()  # warm up / compile

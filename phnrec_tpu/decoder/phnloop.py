@@ -279,6 +279,29 @@ def backtrack_device(spec: PhnLoopSpec, hist: History,
     )
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _slice_segments(segs: Segments, k: int) -> Segments:
+    return Segments(segs.count, segs.phn[:, :k], segs.start[:, :k],
+                    segs.alpha_end[:, :k])
+
+
+def fetch_segments(segs: Segments, round_to: int = 64) -> Segments:
+    """Device -> host transfer of a Segments batch, trimmed to the used
+    capacity.  The static Smax bound (T/S) is ~5x larger than real
+    utterances ever need, so fetching the full arrays wastes most of the
+    (PCIe- or tunnel-limited) D2H bytes.  Two phases: pull the [B] counts
+    (a few KB), then device-slice to max(count) rounded up to `round_to`
+    (bounding recompiles to a handful of capacities) and pull that."""
+    count = np.asarray(segs.count)
+    if segs.phn.shape[1] == 0 or not isinstance(
+            segs.phn, jnp.ndarray):
+        return Segments(count, *(np.asarray(a) for a in segs[1:]))
+    k = int(count.max(initial=0))
+    k = min(segs.phn.shape[1], -(-max(k, 1) // round_to) * round_to)
+    small = _slice_segments(segs, k)
+    return Segments(count, *(np.asarray(a) for a in small[1:]))
+
+
 def labels_from_segments(segs: Segments, n_frames: np.ndarray,
                          phonemes: List[str]) -> List[List[Label]]:
     """Host-side formatting of device-backtracked segments (reverse time

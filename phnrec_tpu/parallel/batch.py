@@ -124,7 +124,7 @@ class BatchPipeline:
             w = jax.device_put(w, self._sharding)
             nf = jax.device_put(nf, self._sharding)
         segs = self._core(w, nf, max_frames)
-        segs = phnloop.Segments(*jax.tree_util.tree_map(np.asarray, segs))
+        segs = phnloop.fetch_segments(segs)
         labels = phnloop.labels_from_segments(
             segs, n_frames, self.sr.phonemes)
         return BatchResult(labels=labels, n_frames=n_frames)
