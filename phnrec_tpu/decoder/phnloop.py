@@ -223,16 +223,18 @@ def max_segments(spec: PhnLoopSpec, max_frames: int) -> int:
 
 
 def backtrack_device(spec: PhnLoopSpec, hist: History,
-                     n_frames: jnp.ndarray, unroll: int = 8) -> Segments:
+                     n_frames: jnp.ndarray, unroll: int = 4) -> Segments:
     """PhnDec::Done (phndec.cpp:236-302) as an on-device reverse scan.
 
     The host replay chases (prev_phn, length) pointers backward with
-    data-dependent hops; on TPU that becomes a fixed-length reverse scan
-    over frames carrying (end, phn): frame t is a segment boundary iff
-    t == end-1, at which point the record is emitted and the carry hops to
-    (start, prev_phn[t]).  Emitted records are compacted into [B, Smax]
-    arrays by an on-device scatter, so only ~7 bytes/segment leave the
-    chip instead of the full 8 bytes/frame history — the D2H transfer, not
+    data-dependent hops.  On TPU that becomes a scan over SEGMENT slots
+    (at most T/S of them — a settled phoneme occupies all S states for a
+    frame each), not frames: each step gathers the boundary record at the
+    carried end-1, emits it, and hops the carry to (start, prev_phn).
+    Active rows emit exactly one record per step, so the emission index
+    IS the step index — the stacked scan outputs are already compact and
+    no scatter is needed.  Only ~7 bytes/segment then leave the chip
+    instead of the full 8 bytes/frame history — the D2H transfer, not
     compute, dominates batch decode round trips.
     """
     B, T = hist.max_phn.shape
@@ -244,38 +246,30 @@ def backtrack_device(spec: PhnLoopSpec, hist: History,
     phn0 = hist.max_phn[bidx, jnp.maximum(end0 - 1, 0)].astype(jnp.int32)
     phn0 = jnp.where(end0 > 0, phn0, -1)
 
-    # reverse-time, time-major inputs: step i handles frame t = T-1-i
-    ts = jnp.arange(T - 1, -1, -1)
-    prev_r = jnp.moveaxis(hist.prev_phn[:, ::-1], 1, 0)
-    len_r = jnp.moveaxis(hist.length[:, ::-1], 1, 0)
-    alpha_r = jnp.moveaxis(hist.alpha[:, ::-1], 1, 0)
+    def step(carry, _):
+        end, phn = carry
+        t = jnp.maximum(end - 1, 0)
+        active = (end > 0) & (phn >= 0)
+        len_t = hist.length[bidx, t].astype(jnp.int32)
+        start = jnp.where(active, end - len_t, end)
+        out = (active, phn.astype(jnp.int8), start.astype(start_dtype),
+               hist.alpha[bidx, t])
+        phn = jnp.where(active, hist.prev_phn[bidx, t].astype(jnp.int32),
+                        phn)
+        return (start, phn), out
 
-    def step(carry, inp):
-        end, phn, k = carry
-        t, prev_t, len_t, alpha_t = inp
-        hit = (t == end - 1) & (phn >= 0)
-        start = end - len_t.astype(jnp.int32)
-        out = (jnp.where(hit, k, Smax), phn.astype(jnp.int8),
-               start.astype(start_dtype), alpha_t)
-        end = jnp.where(hit, start, end)
-        phn = jnp.where(hit, prev_t.astype(jnp.int32), phn)
-        return (end, phn, k + hit.astype(jnp.int32)), out
+    _, (active, phn, start, alpha_end) = jax.lax.scan(
+        step, (end0, phn0), None, length=Smax, unroll=unroll)
 
-    (_, _, count), (idx, phn, start, alpha_end) = jax.lax.scan(
-        step, (end0, phn0, jnp.zeros(B, jnp.int32)),
-        (ts, prev_r, len_r, alpha_r), unroll=unroll)
-
-    # compact: each step wrote to a unique k per row (Smax = out of range
-    # = dropped for non-boundary steps)
-    rows = jnp.broadcast_to(bidx[None, :], idx.shape)
+    count = jnp.sum(active.astype(jnp.int32), axis=0)
+    # zero out slots past each row's count (active is a prefix mask per
+    # row): labels_from_segments relies on alpha_end[count]-and-beyond
+    # being exactly 0 for the initial mPrevAlpha = 0 semantics
     return Segments(
         count=count,
-        phn=jnp.zeros((B, Smax), jnp.int8).at[rows, idx].set(
-            phn, mode="drop"),
-        start=jnp.zeros((B, Smax), start_dtype).at[rows, idx].set(
-            start, mode="drop"),
-        alpha_end=jnp.zeros((B, Smax), jnp.float32).at[rows, idx].set(
-            alpha_end, mode="drop"),
+        phn=jnp.where(active, phn, 0).T,
+        start=jnp.where(active, start, 0).T,
+        alpha_end=jnp.where(active, alpha_end, 0.0).T,
     )
 
 
