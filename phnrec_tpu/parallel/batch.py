@@ -91,12 +91,11 @@ class BatchPipeline:
         par = fe.log_mel_from_frames(frames)
         par = normalization.frame_norm(par, sr.frame_shift, sr.frame_floor)
 
-        def per_utt(p, n):
-            p = normalization.sentence_norm(p, sr.sent_norm, n_valid=n)
-            # slice-based STC assembly, clamped to the last VALID frame
-            return est.assembler(p, n_valid=n)
-
-        left, right = jax.vmap(per_utt)(par, n_frames)
+        par = jax.vmap(lambda p, n: normalization.sentence_norm(
+            p, sr.sent_norm, n_valid=n))(par, n_frames)
+        # conv-based STC assembly (no [T, 31, B] context materialization),
+        # clamped to the last VALID frame of each padded row
+        left, right = est.assembler.batched(par, n_frames)
 
         from phnrec_tpu.posteriors import mlp
         lo = mlp.forward(est.band[0], left, est.fast_exp)

@@ -101,6 +101,49 @@ class LCRCAssembler:
         return jnp.stack([p3[o : o + T] for o in range(self.spec.trap_len)],
                          axis=1)
 
+    def batched(self, params: jnp.ndarray,
+                n_valid: jnp.ndarray | None = None
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched LCRC assembly as two depthwise convolutions.
+
+        [B, T, nbanks] mel params (+ per-row valid counts) -> (left,
+        right) band-net inputs [B, T, nbanks*n_coefs].  Equivalent to
+        vmapping __call__, but never materializes the [T, 31, nbanks]
+        sliding context (a 31x HBM blow-up): feat[t, g, k] =
+        sum_j p3[t+off+j, g] * M[j, k] is a length-16 temporal conv per
+        bank, so each side is one lax.conv with feature_group_count =
+        nbanks and the window*DCT matrix tiled across groups — output
+        channels land bank-major (g*n_coefs + k) exactly like the
+        reference layout (traps.cpp:285-344).
+        """
+        B, T, nb = params.shape
+        shift = (self.spec.trap_len - 1) // 2
+        p = params
+        if n_valid is not None:
+            last = p[jnp.arange(B), jnp.maximum(n_valid - 1, 0)]
+            mask = (jnp.arange(T)[None, :] < n_valid[:, None])[..., None]
+            p = jnp.where(mask, p, last[:, None, :])
+        top = jnp.repeat(p[:, :1], shift, axis=1)
+        bot = jnp.repeat(p[:, -1:], shift, axis=1)
+        p3 = jnp.concatenate([top, p, bot], axis=1)   # [B, T+2*shift, nb]
+
+        hc = self.half_context
+        dn = jax.lax.conv_dimension_numbers(
+            (B, T + hc - 1, nb), (hc, 1, nb * self.spec.n_coefs),
+            ("NWC", "WIO", "NWC"))
+
+        def side(x, m):
+            k = jnp.concatenate([m] * nb, axis=1)[:, None, :]  # [16,1,nb*C]
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(1,), padding="VALID",
+                dimension_numbers=dn, feature_group_count=nb,
+                precision=precision.get())
+
+        # left covers context cols 0..15 (p3 rows t..t+15), right cols
+        # 15..30 (p3 rows t+15..t+30)
+        return (side(p3[:, : T + hc - 1], self.m_left),
+                side(p3[:, shift:], self.m_right))
+
     def __call__(self, params: jnp.ndarray,
                  n_valid: jnp.ndarray | None = None
                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
