@@ -80,7 +80,7 @@ def main() -> None:
 
     def one_iter():
         segs = bp._core(w_dev, nf_dev, max_frames)  # incl. device backtrack
-        segs = phnloop.fetch_segments(segs)         # counts, then used slots
+        segs = phnloop.fetch_segments(segs)         # one batched transfer
         return phnloop.labels_from_segments(segs, n_frames, sr.phonemes)
 
     labels = one_iter()  # warm up / compile
@@ -90,15 +90,26 @@ def main() -> None:
         f"decode does not match golden {GOLDEN_REC}: got {got[:5]}... "
         f"want {golden[:5]}...")
 
-    # median of per-iteration times: the dev tunnel to the chip has
-    # multi-second dispatch stalls on some iterations; the median is the
-    # honest sustained rate, robust to one stalled round trip
-    iters = 7
+    # Pipelined stream, the production shape (srec.cpp:1246-1291 is a
+    # serial file-list loop; here batch i+1's device compute is dispatched
+    # before batch i's D2H + host label formatting, so the host path rides
+    # under the compute).  Median of per-finished-batch times: the dev
+    # tunnel to the chip has multi-second stalls on some round trips; the
+    # median is the honest sustained rate.
+    iters = 9
     times = []
+    segs = bp._core(w_dev, nf_dev, max_frames)
+    t_prev = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        labels = one_iter()
-        times.append(time.perf_counter() - t0)
+        pending = phnloop.fetch_segments_start(segs)    # async D2H
+        segs = bp._core(w_dev, nf_dev, max_frames)      # async dispatch
+        labels = phnloop.labels_from_segments(
+            phnloop.fetch_segments_finish(pending), n_frames, sr.phonemes)
+        t_now = time.perf_counter()
+        times.append(t_now - t_prev)
+        t_prev = t_now
+    got = [(l.start_frames, l.end_frames, l.name) for l in labels[0]]
+    assert got == golden, "pipelined decode diverged from golden"
     dt = sorted(times)[len(times) // 2]
 
     total_audio = batch * audio_seconds_per_utt

@@ -279,21 +279,47 @@ def _slice_segments(segs: Segments, k: int) -> Segments:
                     segs.alpha_end[:, :k])
 
 
-def fetch_segments(segs: Segments, round_to: int = 64) -> Segments:
-    """Device -> host transfer of a Segments batch, trimmed to the used
-    capacity.  The static Smax bound (T/S) is ~5x larger than real
-    utterances ever need, so fetching the full arrays wastes most of the
-    (PCIe- or tunnel-limited) D2H bytes.  Two phases: pull the [B] counts
-    (a few KB), then device-slice to max(count) rounded up to `round_to`
-    (bounding recompiles to a handful of capacities) and pull that."""
-    count = np.asarray(segs.count)
-    if segs.phn.shape[1] == 0 or not isinstance(
-            segs.phn, jnp.ndarray):
-        return Segments(count, *(np.asarray(a) for a in segs[1:]))
-    k = int(count.max(initial=0))
-    k = min(segs.phn.shape[1], -(-max(k, 1) // round_to) * round_to)
+def fetch_segments_start(segs: Segments, cap: int = 128):
+    """Begin the device -> host transfer of a Segments batch (one round
+    trip).  The static Smax bound (T/S) is ~5x larger than real speech
+    ever needs, so the arrays are device-sliced to ``cap`` slots and ALL
+    leaves (counts included) are shipped in one batched async transfer —
+    the tunnel/PCIe round-trip latency is paid once and can overlap
+    device compute of the next batch.  ``fetch_segments_finish`` falls
+    back to a full-capacity refetch in the rare case a row overflows
+    ``cap``."""
+    if segs.phn.shape[1] == 0 or not isinstance(segs.phn, jnp.ndarray):
+        return (segs, segs)
+    k = min(segs.phn.shape[1], cap)
     small = _slice_segments(segs, k)
-    return Segments(count, *(np.asarray(a) for a in small[1:]))
+    for a in small:
+        a.copy_to_host_async()
+    return (segs, small)
+
+
+def fetch_segments_finish(pending) -> Segments:
+    segs, small = pending
+    count = np.asarray(small.count)
+    out = Segments(count, *(np.asarray(a) for a in small[1:]))
+    k = out.phn.shape[1] if out.phn.ndim == 2 else 0
+    cmax = int(count.max(initial=0))
+    if cmax > k and isinstance(segs.phn, jnp.ndarray):
+        out = Segments(count, *(np.asarray(a) for a in segs[1:]))
+    # a legitimate full chain has count <= T//S < Smax; count reaching the
+    # Smax capacity means backtrack_device truncated the earliest segments
+    # (it cannot happen with n_states >= 1, but fail loudly, not silently)
+    if segs.phn.shape[1] and cmax >= segs.phn.shape[1]:
+        raise AssertionError(
+            f"backtrack capacity overflow: count {cmax} reached Smax "
+            f"{segs.phn.shape[1]}")
+    return out
+
+
+def fetch_segments(segs: Segments, cap: int = 128) -> Segments:
+    """Device -> host transfer of a Segments batch (see
+    fetch_segments_start): slice to ``cap`` slots, one batched transfer,
+    full refetch only on overflow."""
+    return fetch_segments_finish(fetch_segments_start(segs, cap))
 
 
 def labels_from_segments(segs: Segments, n_frames: np.ndarray,
@@ -302,22 +328,26 @@ def labels_from_segments(segs: Segments, n_frames: np.ndarray,
     order) into per-utterance Label lists.  Segment j's end frame is
     segment j-1's start (j=0 ends at n_frames); its like is the alpha
     delta to the previous-in-time segment (initial mPrevAlpha = 0)."""
-    counts = np.asarray(segs.count).tolist()
-    phn = np.asarray(segs.phn).tolist()
-    start = np.asarray(segs.start).tolist()
+    counts = np.asarray(segs.count)
+    start = np.asarray(segs.start, dtype=np.int64)
     alpha_end = np.asarray(segs.alpha_end, dtype=np.float64)
+    B = counts.shape[0]
+    # all four Label fields vectorized in numpy, then flipped to time
+    # order; the Python loop only slices + zips (emission order is
+    # reverse time, so [k-1::-1] is the time-ordered view of row b).
     # like[j] = alpha_end[j] - alpha_end[j+1] in emission order; slots past
-    # count are zero-filled by the scatter, so j = count-1 (first in time)
-    # correctly subtracts the reference's initial mPrevAlpha = 0
-    likes = (alpha_end - np.concatenate(
-        [alpha_end[:, 1:], np.zeros((alpha_end.shape[0], 1))], 1)).tolist()
-    ends_of = np.asarray(n_frames).tolist()
-    out: List[List[Label]] = []
-    for b, k in enumerate(counts):
-        row_s, row_p, row_l = start[b], phn[b], likes[b]
-        out.append([
-            Label(row_s[j], row_s[j - 1] if j else ends_of[b],
-                  phonemes[row_p[j]], row_l[j])
-            for j in range(k - 1, -1, -1)
-        ])
-    return out
+    # count are zero-filled by the active-mask in backtrack_device, so
+    # j = count-1 (first in time) correctly subtracts the reference's
+    # initial mPrevAlpha = 0.  end[j] = start[j-1] (j=0 ends at n_frames).
+    likes = alpha_end - np.concatenate(
+        [alpha_end[:, 1:], np.zeros((B, 1))], 1)
+    ends = np.concatenate(
+        [np.asarray(n_frames, dtype=np.int64)[:, None], start[:, :-1]], 1)
+    names = np.asarray(phonemes, dtype=object)[np.asarray(segs.phn)]
+    return [
+        list(map(Label, start[b, k - 1 :: -1].tolist(),
+                 ends[b, k - 1 :: -1].tolist(),
+                 names[b, k - 1 :: -1].tolist(),
+                 likes[b, k - 1 :: -1].tolist())) if k else []
+        for b, k in enumerate(counts.tolist())
+    ]
