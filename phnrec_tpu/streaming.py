@@ -61,7 +61,7 @@ class StreamingRecognizer:
         self._last_mel: Optional[np.ndarray] = None
         self._n_mel = 0          # mel frames fed to the STC window so far
         self._carry = phnloop.init_carry(sr.loop_spec, 1)
-        self._hist: List[np.ndarray] = [[], [], [], []]
+        self._hist: List[np.ndarray] = [[], [], []]
         self._n_decoded = 0
         self._post_fn = _make_posterior_block_fn(sr)
 
@@ -147,10 +147,11 @@ class StreamingRecognizer:
             lp = lp[skip:]
         if lp.shape[0] == 0:
             return
+        # pass the running frame offset so History.ent stays global
         self._carry, hist = phnloop.viterbi_block(
-            sr.loop_spec, self._carry, lp[None])
+            sr.loop_spec, self._carry, lp[None], self._n_decoded)
         for i, a in enumerate(hist):
-            self._hist[i].append(a[0])
+            self._hist[i].append(a[:, 0])
         self._n_decoded += int(lp.shape[0])
 
     def _flush_blocks(self) -> None:

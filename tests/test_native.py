@@ -94,13 +94,15 @@ def test_backtrack_batch_matches_python(monkeypatch):
             prev = phn
             t += seg
     alpha = np.cumsum(rng.standard_normal((B, T)).astype(np.float32), axis=1)
-    hist = phnloop.History(max_phn, prev_phn, length, alpha)
+    # History stores entry frames; ent = t - length + 1, time-major [T, B]
+    ent = (np.arange(T)[None, :] - length + 1).astype(np.int32)
+    hist = phnloop.History(max_phn.T, ent.T, alpha.T)
     phonemes = [f"p{i}" for i in range(P)]
 
     got = phnloop.backtrack_batch(hist, n_frames, phonemes)
     for b in range(B):
         want = phnloop.backtrack(
-            phnloop.History(*(np.asarray(a)[b, : n_frames[b]]
+            phnloop.History(*(np.asarray(a)[: n_frames[b], b]
                               for a in hist)), phonemes)
         assert got[b] == want
 
