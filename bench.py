@@ -48,8 +48,9 @@ def main() -> None:
 
     from phnrec_tpu import precision
 
-    # throughput mode: fewer bf16 passes per f32 GEMM; golden strings +
-    # boundaries stay identical in every mode (asserted below each run)
+    # throughput mode: fewer bf16 passes per f32 GEMM.  'highest' and
+    # 'high' keep golden strings + boundaries identical (asserted below);
+    # 'default' (single-pass bf16) does NOT and would fail the assert.
     precision.set_mode(os.environ.get("PHNREC_TPU_PRECISION", "high"))
 
     from phnrec_tpu.io.audio import convert_waveform
@@ -122,6 +123,18 @@ def main() -> None:
 
     total_audio = batch * audio_seconds_per_utt
     value = total_audio / dt
+
+    # real-pipeline companion metric: mixed-length corpus from disk
+    # (PrefetchLoader -> buckets -> decode -> MLF, true audio seconds).
+    # Printed FIRST so the hero line stays last for the driver's parser.
+    # Through the dev tunnel this is host->device-bandwidth-bound
+    # (~30 MB/s link); see benchmarks/mixed_length.py.
+    try:
+        from benchmarks.mixed_length import run as mixed_run
+        print(json.dumps(mixed_run(1024, iters=3)))
+    except Exception as e:  # never let the companion sink the hero metric
+        print(json.dumps({"metric": "mixed_corpus_error", "error": str(e)}))
+
     print(json.dumps({
         "metric": "audio_sec_per_s_per_chip_e2e_wav_to_rec",
         "value": round(value, 2),

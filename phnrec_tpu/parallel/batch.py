@@ -87,6 +87,16 @@ class BatchPipeline:
         fe = sr.frontend
         est = sr.estimator
 
+        if wave.dtype == jnp.int16:
+            # device-side ConvertWaveformFormat (srec.cpp:709-791, lin16
+            # path, no dither): cast, DC shift, scale.  Shipping int16
+            # halves host->device bytes vs pre-converted f32.
+            wave = wave.astype(jnp.float32)
+            if sr.wave_dc_shift != 0.0:
+                wave = wave + jnp.float32(sr.wave_dc_shift)
+            if sr.wave_scale != 1.0:
+                wave = wave * jnp.float32(sr.wave_scale)
+
         frames = jax.vmap(lambda w: fe.frames_from_wave(w, max_frames))(wave)
         par = fe.log_mel_from_frames(frames)
         par = normalization.frame_norm(par, sr.frame_shift, sr.frame_floor)

@@ -47,7 +47,14 @@ class PrefetchLoader:
                  scale: float = 1.0, dc_shift: float = 0.0,
                  noise_level: float = 0.0, sample_freq: int = 8000,
                  max_batch: int = 64, granularity: int = 512,
-                 prefetch: int = 2, n_workers: int = 4):
+                 prefetch: int = 2, n_workers: int = 4,
+                 raw_int16: bool = False):
+        """``raw_int16`` ships lin16 batches to the device as int16 and
+        leaves the cast + DC shift + scaling to the jitted pipeline
+        (BatchPipeline._core): half the host->device bytes, which is the
+        whole game when the interconnect — not the chip — is the
+        bottleneck.  Requires fmt == lin16 and noise_level == 0 (dither
+        uses the host-side reference LCG, srec.cpp:771-785)."""
         self.sources = list(sources)
         self.fmt = fmt
         self.scale = scale
@@ -58,10 +65,20 @@ class PrefetchLoader:
         self.granularity = granularity
         self.prefetch = max(1, prefetch)
         self.n_workers = max(1, n_workers)
+        self.raw_int16 = raw_int16
+        if raw_int16 and (fmt != "lin16" or noise_level != 0.0):
+            raise ValueError("raw_int16 requires lin16 input without dither")
 
     # -- single-utterance load (worker side) ------------------------------
     def _load_one(self, src: str) -> Tuple[np.ndarray, int]:
         raw = audio.load_waveform_bytes(src)
+        if self.raw_int16:
+            sig = np.frombuffer(raw, dtype="<i2")
+            if sig.shape[0] < audio.MB_VECTORSIZE:
+                sig = np.concatenate(
+                    [sig, np.zeros(audio.MB_VECTORSIZE - sig.shape[0],
+                                   np.int16)])
+            return sig, len(raw) // 2
         return audio.convert_waveform(raw, self.fmt, scale=self.scale,
                                       dc_shift=self.dc_shift,
                                       noise_level=self.noise_level)
@@ -92,7 +109,8 @@ class PrefetchLoader:
             secs += n / self.sample_freq
         L = -(-max(w.shape[0] for w in waves) // self.granularity) \
             * self.granularity
-        wave = np.zeros((len(idxs), L), np.float32)
+        wave = np.zeros((len(idxs), L),
+                        np.int16 if self.raw_int16 else np.float32)
         for k, w in enumerate(waves):
             wave[k, : w.shape[0]] = w
         return LoadedBatch(indices=idxs,

@@ -82,13 +82,21 @@ def to_device(p: MLPParams, pad: int = 128) -> MLPDevice:
 def _use_pallas_default() -> bool:
     """Whether forward() routes through the fused Pallas kernel.
 
-    Measured head-to-head on a v5e chip (batch 1024 x 759 frames, CZ
-    N1500 nets, 2026-08-20): XLA's own fusion of the norm+GEMM+sigmoid+
-    GEMM+softmax chain is at least as fast as the hand-written kernel at
-    every precision (HIGHEST: 0.179s vs 0.188s; HIGH: 0.118s vs 0.132s
-    per batch), so the plain path is the default and the kernel stays an
-    opt-in (PHNREC_TPU_PALLAS_MLP=1 or use_pallas=True) for shapes where
-    hand-tiling wins."""
+    Decision (measured, not a vibe): the plain XLA path is the default.
+
+    * 2026-08-20, v5e chip, batch 1024 x 759 frames, CZ N1500 nets: XLA's
+      own fusion of the norm+GEMM+sigmoid+GEMM+softmax chain beat the
+      hand-written kernel at every precision (HIGHEST: 0.179 s vs 0.188 s;
+      HIGH: 0.118 s vs 0.132 s per batch).  At Precision.HIGH the chain
+      runs at ~60% of the chip's 3-pass-bf16 matmul roofline, so the
+      remaining headroom is small.
+    * 2026-08-21, same chip via the axon tunnel: the fused kernel no
+      longer executes at all (Mosaic runs hang or die with
+      FailedPrecondition; a trivial pallas_call works, so it is this
+      kernel's lowering on that backend, not Pallas per se).
+
+    The kernel stays an opt-in (PHNREC_TPU_PALLAS_MLP=1 or
+    use_pallas=True) and is covered by interpret-mode parity tests."""
     import os
     return os.environ.get("PHNREC_TPU_PALLAS_MLP", "") == "1" and (
         jax.default_backend() == "tpu")
