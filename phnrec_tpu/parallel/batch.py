@@ -103,16 +103,9 @@ class BatchPipeline:
 
         par = jax.vmap(lambda p, n: normalization.sentence_norm(
             p, sr.sent_norm, n_valid=n))(par, n_frames)
-        # conv-based STC assembly (no [T, 31, B] context materialization),
-        # clamped to the last VALID frame of each padded row
-        left, right = est.assembler.batched(par, n_frames)
-
-        from phnrec_tpu.posteriors import mlp
-        lo = mlp.forward(est.band[0], left, est.fast_exp)
-        ro = mlp.forward(est.band[1], right, est.fast_exp)
-        m = jnp.concatenate([lo, ro], axis=-1)
-        m = jnp.where(m > 0.0, jnp.log(jnp.maximum(m, 1e-37)), 0.0)
-        post = mlp.forward(est.merger, m, est.fast_exp)
+        # posterior system dispatch (LCRC/3BT/1BT/1BT_DCT; LCRC runs the
+        # conv-based STC assembly with no [T, 31, B] materialization)
+        post = est.posteriors_batched(par, n_frames)
 
         post = sr.post_soft(post)
         lp = sr.dec_soft(post)

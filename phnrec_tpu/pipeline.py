@@ -29,7 +29,7 @@ from phnrec_tpu.frontend import melbanks
 from phnrec_tpu.io import audio, htk
 from phnrec_tpu.io.labels import Label, MLFWriter, format_rec_line
 from phnrec_tpu.io.weights import load_phoneme_list
-from phnrec_tpu.posteriors.estimator import LCRCEstimator
+from phnrec_tpu.posteriors.estimator import build_estimator
 from phnrec_tpu.utils.filename import change_file_path, change_file_suffix
 
 # data_format stage ordering (srec.h: dfWaveform < dfParams < dfPosteriors
@@ -88,18 +88,15 @@ class SpeechRec:
 
         # -- posterior estimator (srec.cpp:603-624)
         self.traps_enabled = cfg.get_bool("posteriors", "enabled")
-        self.estimator: Optional[LCRCEstimator] = None
+        self.estimator = None
         if self.traps_enabled:
-            system = cfg.get_str("posteriors", "system")
-            if system != "LCRC":
-                raise NotImplementedError(
-                    f"posterior system {system!r} not implemented yet "
-                    "(shipped packages are all LCRC)")
-            self.estimator = LCRCEstimator(
+            self.estimator = build_estimator(
+                cfg.get_str("posteriors", "system"),
                 config_dir,
                 nbanks=cfg.get_int("melbanks", "nbanks"),
                 trap_len=cfg.get_int("posteriors", "length"),
                 add_c0=cfg.get_bool("posteriors", "add_c0"),
+                use_hamming=cfg.get_bool("posteriors", "hamming"),
                 fast_exp=fast_exp,
             )
 

@@ -49,6 +49,29 @@ def dct_c0_matrix(n: int, n_coefs: int, add_c0: bool) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
+def clamped_context(params: jnp.ndarray, trap_len: int,
+                    n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[T, B] params -> [T, trap_len, B] sliding context, row t covering
+    frames t-shift..t+shift with both edges clamped (replicate-first-frame
+    window init traps.cpp:186-199 + the orchestrator's 3-phase edge
+    handling srec.cpp:1035-1059).  Gather-free: rows at or beyond
+    ``n_valid`` are overwritten with row n_valid-1 (repeat-last-frame
+    tail, srec.cpp:877-927), the buffer is edge-replicated by ``shift``
+    rows, and the trap_len context columns become static shifted slices —
+    pure copies XLA fuses into downstream GEMMs."""
+    T = params.shape[0]
+    shift = (trap_len - 1) // 2
+    p = params
+    if n_valid is not None:
+        last = p[jnp.maximum(n_valid - 1, 0)]
+        mask = (jnp.arange(T) < n_valid)[:, None]
+        p = jnp.where(mask, p, last[None, :])
+    top = jnp.repeat(p[:1], shift, axis=0)
+    bot = jnp.repeat(p[-1:], shift, axis=0)
+    p3 = jnp.concatenate([top, p, bot], axis=0)          # [T + 2*shift, B]
+    return jnp.stack([p3[o : o + T] for o in range(trap_len)], axis=1)
+
+
 class LCRCSpec(NamedTuple):
     nbanks: int
     trap_len: int          # 31
@@ -88,18 +111,7 @@ class LCRCAssembler:
         columns become 31 static shifted slices — pure copies that XLA
         fuses into the downstream GEMM.
         """
-        T = params.shape[0]
-        shift = (self.spec.trap_len - 1) // 2
-        p = params
-        if n_valid is not None:
-            last = p[jnp.maximum(n_valid - 1, 0)]
-            mask = (jnp.arange(T) < n_valid)[:, None]
-            p = jnp.where(mask, p, last[None, :])
-        top = jnp.repeat(p[:1], shift, axis=0)
-        bot = jnp.repeat(p[-1:], shift, axis=0)
-        p3 = jnp.concatenate([top, p, bot], axis=0)      # [T + 2*shift, B]
-        return jnp.stack([p3[o : o + T] for o in range(self.spec.trap_len)],
-                         axis=1)
+        return clamped_context(params, self.spec.trap_len, n_valid)
 
     def batched(self, params: jnp.ndarray,
                 n_valid: jnp.ndarray | None = None

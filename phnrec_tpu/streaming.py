@@ -211,6 +211,24 @@ def _make_posterior_block_fn(sr: SpeechRec):
 
     est = sr.estimator
 
+    if not hasattr(est, "assembler"):
+        # 3BT/1BT/1BT_DCT: windows are static shifted slices of the
+        # carried context buffer; _merger_input implements the system's
+        # trap assembly (estimator.py)
+        from phnrec_tpu.posteriors import mlp as _mlp
+
+        @jax.jit
+        def run_traps(ctx):
+            F = ctx.shape[0] - 2 * est.trap_shift
+            win = jnp.stack(
+                [ctx[o : o + F] for o in range(2 * est.trap_shift + 1)],
+                axis=1)                                 # [F, trap_len, nb]
+            post = _mlp.forward(est.merger, est._merger_input(win),
+                                est.fast_exp)
+            return sr.dec_soft(sr.post_soft(post))
+
+        return run_traps
+
     @jax.jit
     def run(ctx):
         F = ctx.shape[0] - 2 * est.trap_shift
