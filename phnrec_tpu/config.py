@@ -83,6 +83,12 @@ CONFIG_VARIABLES: Tuple[ConfigVar, ...] = tuple(
         ("decoder", "mode", STRING, "decode"),
         ("decoder", "softening_func", STRING, "log 0 0 0"),
         ("decoder", "num_states_per_phn", INT, "1"),
+        # EXTENSION keys (not in srec.cpp:34-110): the reference engine
+        # has these knobs only as C++ setters (stkinterface.h:107-113,
+        # defaults off stkinterface.cpp:26,33); exposing them as config
+        # is additive — shipped configs never set them.
+        ("decoder", "beam_pruning", FLOAT, "0.0"),
+        ("kws", "score_pruning", FLOAT, "-1e30"),
         ("dirs", "tmp", STRING, "$C/tmp"),
         ("models", "hmm_defs", STRING, "$T/models"),
         ("models", "nstates", INT, "3"),

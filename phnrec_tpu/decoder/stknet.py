@@ -48,6 +48,7 @@ from phnrec_tpu.io.mmf import LOG_0, ModelSet
 from phnrec_tpu.io.stknet import NetNode, StkNetwork
 
 NEG = np.float32(-1e30)
+OFF_BEAM = np.float32(1e30)   # beam width that never prunes (default off)
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +254,12 @@ class NetworkDecoder:
         self.ex_w = jnp.asarray(c.ex_w)
         self.obs_idx = jnp.asarray(np.maximum(c.obs_index, 0))
         self.n_sinks = len(c.sink_names)
+        # clipped source index views for the traceback gathers
+        self.in_src_m_dev = self.in_src.clip(0, max(c.n_models - 1, 0))
+        self.in_src_s_dev = self.in_src.clip(0, max(c.n_states - 1, 0))
+        # assigned by StkNetworkDecoder when the model set carries a
+        # global <InputXform>
+        self.model_set_input_xform = None
 
     # -- initial entry values (ViterbiInit: token like 0 in first node,
     #    then one network propagation)
@@ -288,21 +295,24 @@ class NetworkDecoder:
         gidx = jnp.asarray(np.maximum(c.gmm_index, 0))
         return jnp.where(is_gmm[None, :], gll[:, gidx], cols)
 
-    @partial(jax.jit, static_argnums=0)
-    def _scan(self, obs_state: jnp.ndarray, n_valid: jnp.ndarray):
-        """obs_state: [T_padded, E] per-state observation log-probs;
-        n_valid: true frame count (padded steps pass the carry through
-        unchanged, so T buckets compile once and reuse).
+    # -- carried-state block scan (streaming + batch share this core) ----
+    def init_carry(self):
+        """Network state after ViterbiInit: empty models, initial entry
+        closure applied (stkinterface.cpp:163-211)."""
+        c = self.c
+        entry0, entry_edge0, entry_wt0 = self._init_entry()
+        return (jnp.full((c.n_states,), NEG, jnp.float32),
+                jnp.zeros((c.n_states,), jnp.int32),
+                jnp.asarray(entry0), jnp.asarray(entry_edge0),
+                jnp.asarray(entry_wt0))
 
-        Returns per-frame records for traceback + sink values.
-        """
+    def _step_fn(self, n_valid, beam):
+        """One ViterbiStep as segment-max reductions.  ``beam`` is the
+        pruning width (net.mPruningThresh, Viterbi.cc:1359-1360): values
+        below best - beam are killed; pass OFF_BEAM to disable."""
         c = self.c
         E, M = c.n_states, c.n_models
         n_cm = self.cm_src.shape[0]
-
-        entry0, entry_edge0, entry_wt0 = self._init_entry()
-        alpha0 = jnp.full((E,), NEG, jnp.float32)
-        wt0 = jnp.zeros((E,), jnp.int32)      # last word-crossing time
 
         def seg_max_argmax(vals, seg, num, order):
             """max + first-wins argmax (by `order` = original edge index)."""
@@ -330,6 +340,9 @@ class NetworkDecoder:
             new_alpha, in_am = seg_max_argmax(vals, self.in_dst, E, order)
             new_wt = src_wt[in_am.clip(0, vals.shape[0] - 1)]
             new_alpha = new_alpha + obs_t
+            # beam pruning against the best token like (Viterbi.cc:1359)
+            thresh = jnp.max(new_alpha) - beam
+            new_alpha = jnp.where(new_alpha >= thresh, new_alpha, NEG)
             # exit: from UPDATED alpha (Viterbi.cc:1663-1686)
             ex_vals = new_alpha[self.ex_src] + self.ex_w
             ex_order = jnp.arange(ex_vals.shape[0], dtype=jnp.int32)
@@ -344,6 +357,7 @@ class NetworkDecoder:
             cm_order = jnp.arange(n_cm, dtype=jnp.int32)
             nentry, cm_am = seg_max_argmax(cm_vals, self.cm_dst, M,
                                            cm_order)
+            nentry = jnp.where(nentry >= thresh, nentry, NEG)
             cm_am_c = cm_am.clip(0, n_cm - 1)
             nentry_wt = jnp.where(
                 self.cm_reset[cm_am_c], t,
@@ -373,16 +387,27 @@ class NetworkDecoder:
                 (alpha, wt, entry, entry_edge, entry_wt))
             return carry, rec
 
+        return step
+
+    @partial(jax.jit, static_argnums=0)
+    def scan_block(self, carry, obs_state: jnp.ndarray, t0, n_valid, beam):
+        """Scan a block of frames from an explicit carry (streaming chunk
+        or whole utterance).  obs_state: [Tb, E]; ``t0`` = count of frames
+        decoded before this block (times are 1-based, so the block covers
+        t0+1..t0+Tb); ``n_valid`` = absolute valid frame count (padded
+        steps pass the carry through)."""
         T = obs_state.shape[0]
-        carry0 = (alpha0, wt0, jnp.asarray(entry0),
-                  jnp.asarray(entry_edge0), jnp.asarray(entry_wt0))
-        _, recs = jax.lax.scan(
-            step, carry0,
-            (obs_state, jnp.arange(1, T + 1, dtype=jnp.int32)))
-        return recs
+        tt = jnp.int32(t0) + jnp.arange(1, T + 1, dtype=jnp.int32)
+        return jax.lax.scan(self._step_fn(n_valid, beam), carry,
+                            (obs_state, tt))
+
+    def _scan(self, obs_state: jnp.ndarray, n_valid, beam=None):
+        beam = OFF_BEAM if beam is None else beam
+        return self.scan_block(self.init_carry(), obs_state, 0,
+                               jnp.int32(n_valid), jnp.float32(beam))[1]
 
     # ------------------------------------------------------------------
-    def _run_scan(self, obs):
+    def _run_scan(self, obs, beam=None):
         """Pad T to a bucket so the scan compiles once per bucket size."""
         obs = np.asarray(obs)
         T = obs.shape[0]
@@ -392,13 +417,17 @@ class NetworkDecoder:
                 [obs, np.zeros((bucket - T, obs.shape[1]), obs.dtype)])
         obs_state = self.state_observations(jnp.asarray(obs))
         recs = jax.tree_util.tree_map(
-            np.asarray, self._scan(obs_state, jnp.int32(T)))
+            np.asarray, self._scan(obs_state, jnp.int32(T), beam))
         return jax.tree_util.tree_map(lambda a: a[:T], recs)
 
-    def decode(self, obs) -> List[Label]:
+    def decode(self, obs, beam=None) -> List[Label]:
         """Full decode: obs [T, D] log posteriors -> word labels (the
         TimePruning + ViterbiDone output, via full traceback)."""
-        recs = self._run_scan(obs)
+        recs = self._run_scan(obs, beam)
+        return self.traceback_host(recs)
+
+    def traceback_host(self, recs) -> List[Label]:
+        """Host traceback over (possibly stitched streaming) records."""
         T = recs["in_am"].shape[0]
         c = self.c
         # final like: terminal sink at last frame
@@ -458,10 +487,126 @@ class NetworkDecoder:
         return labels
 
     # ------------------------------------------------------------------
-    def kws_scan(self, obs):
+    # batched decode: vmapped scan + device-side traceback
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _scan_batch(self, obs_state: jnp.ndarray, n_valid: jnp.ndarray,
+                    beam):
+        """[B, T, E] per-state observations + [B] valid counts -> records
+        with a leading batch axis, one dispatch."""
+        def one(obs, nv):
+            return self.scan_block(self.init_carry(), obs, 0, nv, beam)[1]
+        return jax.vmap(one)(obs_state, n_valid)
+
+    @partial(jax.jit, static_argnums=0)
+    def _traceback_batch(self, recs, n_valid: jnp.ndarray):
+        """Device-side replay of decode()'s host walk, vmapped over rows.
+
+        Each reverse step consumes exactly one frame: either an in-model
+        hop (edge recorded in in_am) or a model-entry hop, which crosses
+        one closure edge (cm_am at the previous frame).  Emits per frame
+        the crossed closure-edge id (-1 if none) and the entry value at
+        the crossing — the host expands edge ids to word sequences.
+        Returns (ok, sink_edge, sink_val, edge_ids [T], edge_vals [T])."""
+        c = self.c
+        T = recs["in_am"].shape[1]
+        n_cm = max(len(self.cm), 1)
+
+        def one(rec, nv):
+            last = jnp.maximum(nv - 1, 0)
+            sink_edge = rec["cs_am"][last, c.terminal_sink]
+            sink_val = rec["sink_val"][last, c.terminal_sink]
+            ok = (nv > 0) & (sink_val > NEG / 2)
+            e0 = sink_edge.clip(0, max(self.cs_src.shape[0] - 1, 0))
+            model0 = jnp.where(ok, self.cs_src[e0], -1)
+            st0 = jnp.where(
+                model0 >= 0,
+                self.ex_src[rec["ex_am"][last, model0.clip(0)]], 0)
+
+            def rstep(carry, t):
+                state, model, active = carry
+                # skip padded frames (t >= nv) and finished rows
+                live = active & (t < nv) & (model >= 0)
+                k = rec["in_am"][t, state]
+                is_entry = self.in_entry[k]
+                # in-model hop
+                nxt_state = self.in_src_s_dev[k]
+                # entry hop: cross the closure edge taken at frame t-1
+                m = self.in_src_m_dev[k]
+                ek = jnp.where(t == 0, rec["entry_edge"][0, m],
+                               rec["cm_am"][jnp.maximum(t - 1, 0), m])
+                ek = ek.clip(0, n_cm - 1)
+                eval_ = rec["entry_val"][t, m]
+                src_model = self.cm_src[ek]
+                # after crossing: resume at src model's exit state (t-1)
+                tm1 = jnp.maximum(t - 1, 0)
+                res_state = self.ex_src[
+                    rec["ex_am"][tm1, src_model.clip(0)]]
+                crossed = live & is_entry
+                out_edge = jnp.where(crossed, ek, -1)
+                out_val = jnp.where(crossed, eval_, 0.0)
+                state = jnp.where(live,
+                                  jnp.where(is_entry, res_state, nxt_state),
+                                  state)
+                model = jnp.where(crossed, src_model, model)
+                active = active & ~(crossed & (src_model < 0)) & ~(t == 0)
+                return (state, model, active), (out_edge, out_val)
+
+            (_, _, _), (edges, vals) = jax.lax.scan(
+                rstep, (st0, model0, ok & (model0 >= 0)),
+                jnp.arange(T - 1, -1, -1, dtype=jnp.int32))
+            # emitted in reverse time order; flip to ascending frame index
+            return ok, sink_edge, sink_val, edges[::-1], vals[::-1]
+
+        return jax.vmap(one)(recs, n_valid)
+
+    def decode_batch(self, log_post, n_frames, beam=None) -> List[List[Label]]:
+        """[B, T, D] log posteriors + [B] frame counts -> per-row word
+        labels, scan + traceback each in ONE device dispatch."""
+        if self.c.terminal_sink < 0:
+            return [[] for _ in range(np.asarray(log_post).shape[0])]
+        beam = jnp.float32(OFF_BEAM if beam is None else beam)
+        obs = jnp.asarray(log_post)
+        if self.model_set_input_xform is not None:
+            from phnrec_tpu.io.xform import apply_instance
+            obs = jax.vmap(
+                lambda o: apply_instance(self.model_set_input_xform, o))(obs)
+        obs_state = jax.vmap(self.state_observations)(obs)
+        nv = jnp.asarray(n_frames, jnp.int32)
+        recs = self._scan_batch(obs_state, nv, beam)
+        ok, sink_edge, sink_val, edges, vals = jax.tree_util.tree_map(
+            np.asarray, self._traceback_batch(recs, nv))
+        n_frames = np.asarray(n_frames)
+        out: List[List[Label]] = []
+        for b in range(obs.shape[0]):
+            if not ok[b]:
+                out.append([])
+                continue
+            Tb = int(n_frames[b])
+            words: List[Tuple[str, int, float]] = []
+            cs_edge = self.cs[int(sink_edge[b])]
+            for w in reversed(cs_edge.words):
+                words.append((w, Tb, float(sink_val[b])))
+            for t in range(Tb - 1, -1, -1):
+                ek = int(edges[b, t])
+                if ek >= 0:
+                    e = self.cm[ek]
+                    for w in reversed(e.words):
+                        words.append((w, t, float(vals[b, t])))
+            words.reverse()
+            labels: List[Label] = []
+            prev_t, prev_like = 0, 0.0
+            for w, end_t, like in words:
+                labels.append(Label(prev_t, end_t, w, like - prev_like))
+                prev_t, prev_like = end_t, like
+            out.append(labels)
+        return out
+
+    # ------------------------------------------------------------------
+    def kws_scan(self, obs, beam=None):
         """KWS per-frame values: returns (word_sink_vals [T, K],
         filler_vals [T], word_start_times [T, K]) as numpy."""
-        recs = self._run_scan(obs)
+        recs = self._run_scan(obs, beam)
         c = self.c
         ws = np.asarray(c.kws_word_sinks, np.int32)
         word_vals = recs["sink_val"][:, ws]
@@ -478,48 +623,88 @@ class KWSHit:
     score: float
 
 
+class KWSTracker:
+    """The LRTrace candidate state machine (stkinterface.cpp:240-289,
+    349-380) with CARRIED state, vectorized across keywords: per keyword,
+    track the likelihood ratio word_end - filler_end; a candidate grows
+    while the LR is non-decreasing; a hypothesis with a later start time
+    than the candidate's end flushes the candidate.  ``feed`` consumes any
+    number of frames (a live chunk or a whole utterance) and returns the
+    hits flushed during those frames — the streaming per-frame emission
+    the reference produces through its callback."""
+
+    def __init__(self, keywords: Sequence[str],
+                 time_pruning: float = 1e9,
+                 score_pruning: float = -np.inf):
+        self.keywords = list(keywords)
+        self.time_pruning = time_pruning
+        self.score_pruning = score_pruning   # kwsScorePruning (LR floor)
+        K = len(keywords)
+        self.t = 0                            # frames consumed so far
+        self.last_lr = np.full(K, -np.inf)
+        self.cand_lr = np.full(K, -np.inf)
+        self.cand_start = np.zeros(K, np.int64)
+        self.cand_end = np.zeros(K, np.int64)
+        self.dumped = np.zeros(K, bool)
+        self.hits: List[KWSHit] = []
+
+    def _flush(self, j: int) -> None:
+        if self.cand_end[j] != 0 and not self.dumped[j] and \
+                self.cand_lr[j] >= self.score_pruning:
+            self.hits.append(KWSHit(self.keywords[j],
+                                    int(self.cand_start[j]),
+                                    int(self.cand_end[j]),
+                                    float(self.cand_lr[j])))
+        self.dumped[j] = True
+
+    def feed(self, word_vals: np.ndarray, filler: np.ndarray,
+             start_times: np.ndarray) -> List[KWSHit]:
+        """[F, K] word-end values, [F] filler values, [F, K] word start
+        times (absolute frames) -> hits flushed during these frames."""
+        first = len(self.hits)
+        F, K = word_vals.shape
+        for i in range(F):
+            t = self.t + i
+            active = (word_vals[i] > NEG / 2) & (filler[i] > NEG / 2)
+            lr = np.where(active, word_vals[i] - filler[i], -np.inf)
+            growing = active & (lr >= self.last_lr)
+            ws = start_times[i].astype(np.int64)
+            new_hyp = growing & (self.cand_end <= ws)
+            take = growing & ((lr >= self.cand_lr) | new_hyp)
+            for j in np.nonzero(new_hyp & take)[0]:
+                self._flush(int(j))
+                self.dumped[j] = False
+            self.cand_start = np.where(take, ws, self.cand_start)
+            self.cand_end = np.where(take, t + 1, self.cand_end)
+            self.cand_lr = np.where(take, lr, self.cand_lr)
+            self.last_lr = np.where(active, lr, -np.inf)
+            if self.time_pruning < 1e9:
+                stale = (self.cand_end != 0) & (
+                    (t + 1) - self.cand_end >= self.time_pruning)
+                for j in np.nonzero(stale & ~self.dumped)[0]:
+                    self._flush(int(j))
+        self.t += F
+        return self.hits[first:]
+
+    def finish(self) -> List[KWSHit]:
+        """Flush every outstanding candidate (StkInterface::Done)."""
+        first = len(self.hits)
+        for j in range(len(self.keywords)):
+            self._flush(j)
+        return self.hits[first:]
+
+
 def kws_candidates(word_vals: np.ndarray, filler: np.ndarray,
                    start_times: np.ndarray, keywords: Sequence[str],
-                   time_pruning: float = 1e9) -> List[KWSHit]:
-    """The LRTrace candidate logic (stkinterface.cpp:240-289,349-380):
-    per keyword, track the likelihood ratio word_end - filler_end; a
-    candidate grows while the LR is non-decreasing; a hypothesis with a
-    later start time than the candidate's end flushes the candidate."""
-    T, K = word_vals.shape
-    hits: List[KWSHit] = []
-    for j in range(K):
-        last_lr = -np.inf
-        cand_lr = -np.inf
-        cand_start = cand_end = 0
-        dumped = False
-
-        def flush():
-            nonlocal dumped
-            if cand_end != 0 and not dumped:
-                hits.append(KWSHit(keywords[j], int(cand_start),
-                                   int(cand_end), float(cand_lr)))
-                dumped = True
-
-        for t in range(T):
-            wv, fv = word_vals[t, j], filler[t]
-            if wv <= NEG / 2 or fv <= NEG / 2:
-                last_lr = -np.inf
-                continue
-            lr = wv - fv
-            if lr >= last_lr:
-                word_start = int(start_times[t, j])
-                if lr >= cand_lr or cand_end <= word_start:
-                    if cand_end <= word_start:
-                        flush()
-                        dumped = False
-                    cand_start = word_start
-                    cand_end = t + 1
-                    cand_lr = lr
-            last_lr = lr
-            if cand_end != 0 and (t + 1) - cand_end >= time_pruning:
-                flush()
-        flush()
-    hits.sort(key=lambda h: (h.start, h.end, h.word))
+                   time_pruning: float = 1e9,
+                   score_pruning: float = -np.inf) -> List[KWSHit]:
+    """Whole-utterance KWS: feed all frames through a tracker + final
+    flush (identical to the streaming emission, which is the point —
+    offline and live KWS share one state machine)."""
+    tr = KWSTracker(keywords, time_pruning, score_pruning)
+    tr.feed(word_vals, filler, start_times)
+    tr.finish()
+    hits = sorted(tr.hits, key=lambda h: (h.start, h.end, h.word))
     return hits
 
 
@@ -530,13 +715,20 @@ class StkNetworkDecoder:
     def __init__(self, model_set: ModelSet, network: StkNetwork,
                  wpenalty: float, lm_scale: float, mode: str = "decode",
                  time_pruning: int = 40,
-                 keyword_thresholds=None):
+                 keyword_thresholds=None,
+                 beam_pruning: Optional[float] = None,
+                 kws_score_pruning: float = -np.inf):
         self.model_set = model_set
         self.network = network
         self.lm_scale = lm_scale
         self.mode = mode
         self.time_pruning = time_pruning
         self.keyword_thresholds = keyword_thresholds
+        # stkinterface.h:107-113 knob surface: beamPruning (width against
+        # the best token like; off by default as in stkinterface.cpp:26)
+        # and kwsScorePruning (candidate LR floor)
+        self.beam_pruning = beam_pruning
+        self.kws_score_pruning = kws_score_pruning
         self._build(wpenalty)
 
     def _build(self, wpenalty: float) -> None:
@@ -544,28 +736,58 @@ class StkNetworkDecoder:
         self.compiled = compile_network(self.network, self.model_set,
                                         wpenalty, self.lm_scale)
         self.decoder = NetworkDecoder(self.compiled)
+        self.decoder.model_set_input_xform = self.model_set.input_xform
 
     def set_wpenalty(self, wpenalty: float) -> None:
         self._build(wpenalty)
 
-    def decode(self, log_post) -> List[Label]:
+    # SetBeamPruning / SetKwsScorePruning / SetTimePruning
+    # (stkinterface.h:107-113)
+    def set_beam_pruning(self, v: Optional[float]) -> None:
+        self.beam_pruning = v
+
+    def set_kws_score_pruning(self, v: float) -> None:
+        self.kws_score_pruning = v
+
+    def set_time_pruning(self, v: int) -> None:
+        self.time_pruning = v
+
+    def keywords(self) -> List[str]:
+        return [self.compiled.sink_names[s]
+                for s in self.compiled.kws_word_sinks]
+
+    def _xform(self, log_post):
         # global <InputXform>: transform observations before scoring
         # (ModelSet::UpdateStacks per ViterbiStep, Viterbi.cc:2068 — here
         # the whole utterance is transformed at once)
         if self.model_set.input_xform is not None:
             from phnrec_tpu.io.xform import apply_instance
             log_post = apply_instance(self.model_set.input_xform, log_post)
+        return log_post
+
+    def decode(self, log_post) -> List[Label]:
+        log_post = self._xform(log_post)
         if self.mode == "kws":
-            wv, fv, st = self.decoder.kws_scan(log_post)
-            keywords = [self.compiled.sink_names[s]
-                        for s in self.compiled.kws_word_sinks]
-            hits = kws_candidates(wv, fv, st, keywords, self.time_pruning)
+            wv, fv, st = self.decoder.kws_scan(log_post,
+                                               beam=self.beam_pruning)
+            hits = kws_candidates(wv, fv, st, self.keywords(),
+                                  self.time_pruning,
+                                  self.kws_score_pruning)
             # NOTE: thresholds filter only the LIVE callback output in the
             # reference (phnrec.cpp:81-83); label files keep every
             # candidate (PutKWSCandidateToLabels).  Callers needing the
             # live behavior filter via self.keyword_thresholds.
             return [Label(h.start, h.end, h.word, h.score) for h in hits]
-        return self.decoder.decode(log_post)
+        return self.decoder.decode(log_post, beam=self.beam_pruning)
+
+    def decode_batch(self, log_post, n_frames) -> List[List[Label]]:
+        """Batched decode-mode: [B, T, D] + [B] -> per-row labels in one
+        scan dispatch + one traceback dispatch."""
+        if self.mode == "kws":
+            return [self.decode(np.asarray(log_post)[b, : int(n)])
+                    for b, n in enumerate(np.asarray(n_frames))]
+        return self.decoder.decode_batch(log_post, n_frames,
+                                         beam=self.beam_pruning)
 
     @classmethod
     def from_config(cls, sr, cfg) -> "StkNetworkDecoder":
@@ -581,9 +803,19 @@ class StkNetworkDecoder:
         if mode == "kws":
             from phnrec_tpu.kws import Thresholds
             thr = Thresholds.from_config(cfg)
+        # beam_pruning/kws_score_pruning: engine knobs behind
+        # stkinterface.h:107-113 setters.  The reference registers no
+        # config keys for them (stkinterface.cpp:26 defaults = off); we
+        # accept optional decoder/beam_pruning + kws/score_pruning keys
+        # as a documented extension.
+        b = cfg.get_float("decoder", "beam_pruning")
+        beam = b if b > 0 else None
+        ksp = cfg.get_float("kws", "score_pruning")
         return cls(ms, net,
                    wpenalty=cfg.get_float("decoder", "wpenalty"),
                    lm_scale=cfg.get_float("decoder", "lm_scale"),
                    mode=mode,
                    time_pruning=cfg.get_int("decoder", "time_pruning"),
-                   keyword_thresholds=thr)
+                   keyword_thresholds=thr,
+                   beam_pruning=beam,
+                   kws_score_pruning=ksp)

@@ -51,6 +51,11 @@ def run_live(sr: SpeechRec, out_format: str = "str",
         stream = open(source, "rb")
 
     rec = StreamingRecognizer(sr)
+    # live KWS drops detections below the per-keyword threshold — the
+    # callback filter in phnrec.cpp:81-83; label files keep every candidate
+    thr = None
+    if sr.stk_decoder is not None and sr.stk_decoder.mode == "kws":
+        thr = sr.stk_decoder.keyword_thresholds
     emitted = 0
     n = 0
     try:
@@ -61,6 +66,8 @@ def run_live(sr: SpeechRec, out_format: str = "str",
             rec.process(data)
             settled = rec.results(settled_only=True)
             for lab in settled[emitted:]:
+                if thr is not None and lab.score < thr.get(lab.name):
+                    continue
                 emit(format_live(lab, out_format))
             emitted = len(settled)
             n += 1

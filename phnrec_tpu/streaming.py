@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,71 +54,130 @@ class StreamingRecognizer:
         self.online_norm = normalization.OnlineNorm.from_config(
             sr.cfg, spec.nbanks)
 
-        self._sample_buf = np.zeros(0, np.float32)
+        # lin16 without dither ships int16 to the device; dither needs the
+        # host LCG (srec.cpp:771-785), A-law converts via the host table
+        self._i16 = (sr.wave_format == "lin16" and sr.wave_noise == 0.0)
+        self._frame_quantum = 256
+        self._sample_buf = np.zeros(
+            0, np.int16 if self._i16 else np.float32)
         self._byte_rem = b""
         self._first_frame_done = False
-        self._mel_tail: Optional[np.ndarray] = None  # [trap_len-1, nbanks]
-        self._mel_pending = np.zeros((0, spec.nbanks), np.float32)
-        self._last_mel: Optional[np.ndarray] = None
+        self._mel_tail = None                        # [trap_len-1, nbanks]
+        self._mel_pending = jnp.zeros((0, spec.nbanks), jnp.float32)
+        self._last_mel = None
+
+        fe = sr.frontend
+        dc, scale = np.float32(sr.wave_dc_shift), np.float32(sr.wave_scale)
+
+        i16 = self._i16
+
+        @jax.jit
+        def _front(span):
+            w = span.astype(jnp.float32)
+            # host _convert_chunk already applied dc/scale on the float
+            # path; the int16 path defers them to the device
+            if i16 and float(dc) != 0.0:
+                w = w + dc
+            if i16 and float(scale) != 1.0:
+                w = w * scale
+            n_pad = (span.shape[0] - spec.vector_size) // spec.step + 1
+            par = fe.log_mel_from_frames(fe.frames_from_wave(w, n_pad))
+            return normalization.frame_norm(par, sr.frame_shift,
+                                            sr.frame_floor)
+
+        self._front_fn = _front
         self._n_mel = 0          # mel frames fed to the STC window so far
         self._carry = phnloop.init_carry(sr.loop_spec, 1)
         self._hist: List[np.ndarray] = [[], [], []]
         self._n_decoded = 0
         self._post_fn = _make_posterior_block_fn(sr)
 
-    # -- waveform -> mel frames -----------------------------------------
-    def _take_frames(self, flush: bool = False) -> np.ndarray:
-        """Consume whole frames from the sample buffer (streaming framing
-        identical to offline framing of the concatenated signal)."""
-        buf = self._sample_buf
-        frames = []
-        pos = 0
-        # frames advance by `step`; the buffer always retains the vs-step
-        # overlap
-        while len(buf) - pos >= self.vs:
-            frames.append(buf[pos : pos + self.vs])
-            pos += self.step
-            self._first_frame_done = True
-        self._sample_buf = buf[pos:]
-        if not frames:
-            return np.zeros((0, self.vs), np.float32)
-        return np.stack(frames)
+        # stkint decoder path (StkInterface::ProcessFrame streaming,
+        # stkinterface.cpp:214-289): carried network state + per-block
+        # records; KWS mode feeds sink values through the LRTrace state
+        # machine per block
+        self._stk = sr.stk_decoder
+        self._stk_recs: List = []
+        self._stk_recs_host: List = []
+        self._kws_tracker = None
+        self._kws_hits_emitted = 0
+        if self._stk is not None:
+            self._stk_carry = self._stk.decoder.init_carry()
+            if self._stk.mode == "kws":
+                from phnrec_tpu.decoder.stknet import KWSTracker
+                self._kws_tracker = KWSTracker(
+                    self._stk.keywords(), self._stk.time_pruning,
+                    self._stk.kws_score_pruning)
 
+    # -- waveform -> mel frames -----------------------------------------
     def process(self, raw: bytes) -> None:
-        """Push a chunk of raw audio bytes (any size, including odd)."""
+        """Push a chunk of raw audio bytes (any size, including odd).
+
+        The sample buffer lives on the HOST (bytes arrive there anyway),
+        but everything after it is device-resident: lin16 samples cross
+        the host->device link as int16 (half the bytes; cast + DC shift +
+        scale happen in the jitted frontend) and the mel block stays a
+        device array end-to-end — no per-chunk device->host fetch unless
+        online normalization (host state machine) is enabled."""
         sr = self.sr
         if sr.wave_format == "lin16":
             raw = self._byte_rem + raw
             cut = len(raw) - (len(raw) % 2)
             raw, self._byte_rem = raw[:cut], raw[cut:]
-        wave = _convert_chunk(raw, sr)
+            if self._i16:
+                wave = np.frombuffer(raw, dtype="<i2")
+            else:
+                wave = _convert_chunk(raw, sr)
+        else:
+            wave = _convert_chunk(raw, sr)
         self._sample_buf = np.concatenate([self._sample_buf, wave])
-        frames = self._take_frames()
-        if frames.shape[0] == 0:
+        # consume FULL fixed-size frame blocks straight from the sample
+        # buffer: every device op in steady state then has one static
+        # shape (variable-shape eager ops re-lower per shape, which is
+        # ruinous through a remote backend); leftovers wait for the next
+        # chunk or finish()
+        spb = self.block * self.step
+        need = (self.block - 1) * self.step + self.vs
+        while self._sample_buf.shape[0] >= need:
+            span = self._sample_buf[:need]
+            self._sample_buf = self._sample_buf[spb:]
+            self._first_frame_done = True
+            self._push_mel(self._norm_host(
+                self._front_fn(jnp.asarray(span))))
+
+    def _norm_host(self, par):
+        if self.online_norm.enabled:
+            par = jnp.asarray(self.online_norm.process_block(
+                np.asarray(par)))
+        return par
+
+    def _flush_samples(self) -> None:
+        """Frame whatever samples remain (< one block) at finish time."""
+        buf = self._sample_buf
+        if buf.shape[0] < self.vs:
             return
-        T = frames.shape[0]
-        # pad the frame count to a multiple of 16 so jit compiles for a
-        # few shapes only, not one per chunk size
-        pad = (-T) % 16
-        if pad:
-            frames = np.concatenate(
-                [frames, np.zeros((pad, self.vs), np.float32)])
-        par = np.asarray(
-            sr.frontend.log_mel_from_frames(jnp.asarray(frames)))[:T]
-        par = np.asarray(normalization.frame_norm(
-            jnp.asarray(par), sr.frame_shift, sr.frame_floor))
-        par = self.online_norm.process_block(par)
-        self._push_mel(par)
+        n = (buf.shape[0] - self.vs) // self.step + 1
+        self._first_frame_done = True
+        # pad the span to a frame quantum to bound finish-time compiles
+        n_pad = -(-n // self._frame_quantum) * self._frame_quantum
+        span_len = (n_pad - 1) * self.step + self.vs
+        span = np.zeros(span_len, buf.dtype)
+        take = min(buf.shape[0], span_len)
+        span[:take] = buf[:take]
+        self._sample_buf = buf[n * self.step :]
+        self._push_mel(self._norm_host(
+            self._front_fn(jnp.asarray(span))[:n]))
 
     # -- mel frames -> posteriors -> viterbi -----------------------------
-    def _push_mel(self, par: np.ndarray) -> None:
+    def _push_mel(self, par) -> None:
         if par.shape[0] == 0:
             return
         self._last_mel = par[-1]
         if self._mel_tail is None:
             # replicate-first-frame window init (traps.cpp:186-199)
-            self._mel_tail = np.repeat(par[:1], 2 * self.trap_shift, axis=0)
-        self._mel_pending = np.concatenate([self._mel_pending, par])
+            self._mel_tail = jnp.repeat(par[:1], 2 * self.trap_shift,
+                                        axis=0)
+        self._mel_pending = jnp.concatenate([self._mel_pending, par])
         self._drain()
 
     def _drain(self) -> None:
@@ -126,14 +186,13 @@ class StreamingRecognizer:
                                       self._mel_pending[self.block :])
             self._run_block(blk, blk.shape[0])
 
-    def _run_block(self, blk: np.ndarray, n_valid: int) -> None:
+    def _run_block(self, blk, n_valid: int) -> None:
         """blk: [F, nbanks] new mel frames; computes posterior rows for
         windows centered trap_shift back, then extends the Viterbi."""
         sr = self.sr
-        est = sr.estimator
-        ctx = np.concatenate([self._mel_tail, blk])   # [30 + F, nbanks]
+        ctx = jnp.concatenate([self._mel_tail, blk])  # [30 + F, nbanks]
         self._mel_tail = ctx[-2 * self.trap_shift :]
-        lp = self._post_fn(jnp.asarray(ctx))
+        lp = self._post_fn(ctx)
         # rows correspond to window centers (n_mel - 15 .. n_mel + F - 16);
         # drop rows whose center precedes frame 0 (unprimed gate)
         first_center = self._n_mel - self.trap_shift
@@ -147,6 +206,10 @@ class StreamingRecognizer:
             lp = lp[skip:]
         if lp.shape[0] == 0:
             return
+        if self._stk is not None:
+            self._run_stk_block(lp)
+            self._n_decoded += int(lp.shape[0])
+            return
         # pass the running frame offset so History.ent stays global
         self._carry, hist = phnloop.viterbi_block(
             sr.loop_spec, self._carry, lp[None], self._n_decoded)
@@ -154,28 +217,58 @@ class StreamingRecognizer:
             self._hist[i].append(a[:, 0])
         self._n_decoded += int(lp.shape[0])
 
+    def _run_stk_block(self, lp) -> None:
+        import jax
+
+        dec = self._stk
+        obs = dec._xform(lp)
+        obs_state = dec.decoder.state_observations(obs)
+        from phnrec_tpu.decoder.stknet import OFF_BEAM
+        beam = jnp.float32(OFF_BEAM if dec.beam_pruning is None
+                           else dec.beam_pruning)
+        F = int(obs_state.shape[0])
+        self._stk_carry, recs = dec.decoder.scan_block(
+            self._stk_carry, obs_state, jnp.int32(self._n_decoded),
+            jnp.int32(self._n_decoded + F), beam)
+        if self._kws_tracker is not None:
+            # only the sink records cross to the host, per block
+            c = dec.compiled
+            ws = np.asarray(c.kws_word_sinks, np.int32)
+            sink_val = np.asarray(recs["sink_val"])
+            sink_wt = np.asarray(recs["sink_wt"])
+            self._kws_tracker.feed(sink_val[:, ws],
+                                   sink_val[:, c.kws_filler_sink],
+                                   sink_wt[:, ws])
+        else:
+            self._stk_recs.append(recs)   # stays on device until results()
+
     def _flush_blocks(self) -> None:
         self._drain()
         if self._mel_pending.shape[0] > 0:
             blk = self._mel_pending
-            self._mel_pending = np.zeros((0, blk.shape[1]), np.float32)
+            self._mel_pending = jnp.zeros((0, blk.shape[1]), jnp.float32)
             pad = self.block - blk.shape[0]
-            padded = np.concatenate([blk, np.repeat(blk[-1:], pad, axis=0)]) \
+            padded = jnp.concatenate(
+                [blk, jnp.repeat(blk[-1:], pad, axis=0)]) \
                 if pad > 0 else blk
             self._run_block(padded, blk.shape[0])
 
     def finish(self) -> List[Label]:
         """ProcessTail + Done: flush STC latency and backtrack."""
+        self._flush_samples()
         if self._last_mel is None:
             return []
         # repeat the last mel frame trap_shift times (srec.cpp:889-898)
-        self._mel_pending = np.concatenate(
+        self._mel_pending = jnp.concatenate(
             [self._mel_pending,
-             np.repeat(self._last_mel[None], self.trap_shift, axis=0)])
+             jnp.repeat(jnp.asarray(self._last_mel)[None], self.trap_shift,
+                        axis=0)])
         self._flush_blocks()
         return self.results()
 
     def results(self, settled_only: bool = False) -> List[Label]:
+        if self._stk is not None:
+            return self._stk_results(settled_only)
         if not self._hist[0]:
             return []
         hist = phnloop.History(
@@ -187,6 +280,43 @@ class StreamingRecognizer:
             horizon = self._n_decoded - tp
             labels = [l for l in labels if l.end_frames <= horizon]
         return labels
+
+    def _stk_results(self, settled_only: bool) -> List[Label]:
+        import jax
+
+        if self._kws_tracker is not None:
+            # candidates flushed so far, in FLUSH order (the live callback
+            # emission order — callers slice by count, so no sorting);
+            # results(False) == end-of-utterance: flush the rest
+            if not settled_only:
+                self._kws_tracker.finish()
+            return [Label(h.start, h.end, h.word, h.score)
+                    for h in self._kws_tracker.hits]
+        # fetch only blocks not yet pulled (live mode calls results per
+        # chunk; older blocks are already host-side)
+        while self._stk_recs:
+            self._stk_recs_host.append(jax.tree_util.tree_map(
+                np.asarray, self._stk_recs.pop(0)))
+        if not self._stk_recs_host:
+            return []
+        recs = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *self._stk_recs_host)
+        recs = jax.tree_util.tree_map(lambda a: a[: self._n_decoded], recs)
+        labels = self._stk.decoder.traceback_host(recs)
+        if settled_only:
+            tp = self._stk.time_pruning
+            horizon = self._n_decoded - tp
+            labels = [l for l in labels if l.end_frames <= horizon]
+        return labels
+
+    def kws_hits_so_far(self) -> List[Label]:
+        """Newly flushed KWS candidates since the last call — the live
+        callback stream (DECMSG_WORD per PutKWSCandidateToLabels)."""
+        if self._kws_tracker is None:
+            return []
+        new = self._kws_tracker.hits[self._kws_hits_emitted :]
+        self._kws_hits_emitted = len(self._kws_tracker.hits)
+        return [Label(h.start, h.end, h.word, h.score) for h in new]
 
 
 def _convert_chunk(raw: bytes, sr: SpeechRec) -> np.ndarray:

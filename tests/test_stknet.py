@@ -158,3 +158,75 @@ def test_thresholds(tmp_path):
     t.load(str(p))
     assert t.get("yes") == 1.5
     assert t.get("unknown") == -10.0
+
+
+def test_decode_batch_matches_per_row(cz_loop_decoder):
+    """Batched scan + device traceback must equal per-row host decode."""
+    post, _, _ = read_htk(golden("fix_cz.post"))
+    lp = np.log(np.maximum(post, 1e-37)).astype(np.float32)
+    rng = np.random.default_rng(0)
+    T = lp.shape[0]
+    rows = [lp,
+            lp[: T // 2],
+            lp[: 37],
+            np.ascontiguousarray(lp[::-1])]
+    n_frames = np.array([r.shape[0] for r in rows], np.int32)
+    batch = np.zeros((len(rows), T, lp.shape[1]), np.float32)
+    for b, r in enumerate(rows):
+        batch[b, : r.shape[0]] = r
+    got = cz_loop_decoder.decode_batch(batch, n_frames)
+    for b, r in enumerate(rows):
+        want = cz_loop_decoder.decode(r)
+        assert [(l.start_frames, l.end_frames, l.name) for l in got[b]] == \
+            [(w.start_frames, w.end_frames, w.name) for w in want], f"row {b}"
+        np.testing.assert_allclose([l.score for l in got[b]],
+                                   [w.score for w in want], atol=1e-3)
+
+
+def test_beam_pruning_knob(cz_loop_decoder):
+    """A huge beam changes nothing; a tight beam still yields a valid
+    label sequence (greedy survivor path) covering the utterance."""
+    post, _, _ = read_htk(golden("fix_cz.post"))
+    lp = np.log(np.maximum(post, 1e-37)).astype(np.float32)
+    base = cz_loop_decoder.decode(lp)
+    cz_loop_decoder.set_beam_pruning(1e9)
+    wide = cz_loop_decoder.decode(lp)
+    assert [(l.start_frames, l.end_frames, l.name) for l in wide] == \
+        [(b.start_frames, b.end_frames, b.name) for b in base]
+    cz_loop_decoder.set_beam_pruning(1.0)   # very tight
+    tight = cz_loop_decoder.decode(lp)
+    cz_loop_decoder.set_beam_pruning(None)
+    assert tight, "tight beam must still decode something"
+    assert tight[0].start_frames == 0 and tight[-1].end_frames == lp.shape[0]
+    for a, b in zip(tight, tight[1:]):
+        assert a.end_frames == b.start_frames
+
+
+def test_kws_tracker_streaming_equals_offline(tmp_path):
+    """Feeding KWS frame values through KWSTracker in chunks must produce
+    the same hits as the whole-utterance kws_candidates."""
+    from phnrec_tpu.decoder.stknet import KWSTracker
+
+    rng = np.random.default_rng(5)
+    T, K = 200, 3
+    filler = np.cumsum(rng.standard_normal(T)).astype(np.float32)
+    word_vals = filler[:, None] + rng.standard_normal((T, K)).astype(
+        np.float32) * 3.0
+    start_times = np.maximum(
+        0, np.arange(T)[:, None] - rng.integers(5, 40, (T, K))).astype(
+        np.int64)
+    # sprinkle inactive frames
+    word_vals[rng.random((T, K)) < 0.05] = -1e30
+    keywords = [f"kw{j}" for j in range(K)]
+
+    want = kws_candidates(word_vals, filler, start_times, keywords,
+                          time_pruning=40)
+    tr = KWSTracker(keywords, time_pruning=40)
+    got = []
+    for s in range(0, T, 17):
+        got.extend(tr.feed(word_vals[s : s + 17], filler[s : s + 17],
+                           start_times[s : s + 17]))
+    got.extend(tr.finish())
+    got.sort(key=lambda h: (h.start, h.end, h.word))
+    assert [(h.word, h.start, h.end, round(h.score, 4)) for h in got] == \
+        [(h.word, h.start, h.end, round(h.score, 4)) for h in want]
