@@ -57,11 +57,12 @@ def main() -> None:
     block = int(os.environ.get('LONG_AUDIO_BLOCK', '4096'))
     chunk_bytes = rate * 2 * 60          # 60 s chunks, lin16
 
-    # warmup: compile the block-shaped programs on a throwaway recognizer
-    # (compiles are per-process on this backend; steady-state throughput
+    # warmup: a full identical pass on a throwaway recognizer compiles
+    # every program INCLUDING the finish-time leftover bucket (compiles
+    # are per-process-first-use on this backend; steady-state throughput
     # is the meaningful long-audio number)
     warm = StreamingRecognizer(sr, block_frames=block)
-    for off in range(0, min(len(raw), 3 * chunk_bytes), chunk_bytes):
+    for off in range(0, len(raw), chunk_bytes):
         warm.process(raw[off : off + chunk_bytes])
     warm.finish()
 

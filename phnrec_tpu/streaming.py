@@ -92,6 +92,50 @@ class StreamingRecognizer:
         self._n_decoded = 0
         self._post_fn = _make_posterior_block_fn(sr)
 
+        # fused steady-state block program: span -> mel -> STC -> MLPs ->
+        # Viterbi in ONE jit dispatch.  Eager (op-by-op) device calls pay
+        # a synchronous lowering round trip each on remote backends
+        # (~70 ms over the dev tunnel, measured 2026-08-21); a 10-op
+        # per-block path is 10x slower than the same math fused.  The
+        # slow multi-op path still serves the first block (delay-gate
+        # slicing), online-norm (host state), stkint, and finish().
+        post_fn = self._post_fn
+        loop_spec = sr.loop_spec
+        ts2 = 2 * self.trap_shift
+
+        @jax.jit
+        def _fused_block(span, mel_tail, carry, t0):
+            par = _front(span)                       # [block, nb]
+            ctx = jnp.concatenate([mel_tail, par])   # [2*shift+block, nb]
+            new_tail = ctx[-ts2:]
+            lp = post_fn(ctx)                        # [block, n_out]
+            carry, hist = phnloop.viterbi_block(loop_spec, carry,
+                                                lp[None], t0)
+            return par[-1], new_tail, carry, \
+                tuple(a[:, 0] for a in hist)
+
+        self._fused_block = _fused_block
+
+        @jax.jit
+        def _fused_finish(span, n, mel_tail, carry, t0):
+            """One-dispatch ProcessTail: frame the leftover span (rows
+            past n are garbage), replicate the last valid mel frame as
+            the trap_shift tail flush (repeat-last == clip-gather), run
+            posteriors + Viterbi over the fixed-size block.  Only rows
+            < n + trap_shift are valid; the caller counts those."""
+            par = _front(span)                        # [cap, nb]
+            cap = par.shape[0]
+            # row -1 (= mel_tail's last row) serves the n == 0 case
+            par2 = jnp.concatenate([mel_tail[-1:], par])
+            mel = par2[jnp.clip(jnp.arange(cap) + 1, 0, n)]
+            ctx = jnp.concatenate([mel_tail, mel])
+            lp = post_fn(ctx)
+            carry, hist = phnloop.viterbi_block(loop_spec, carry,
+                                                lp[None], t0)
+            return carry, tuple(a[:, 0] for a in hist)
+
+        self._fused_finish = _fused_finish
+
         # stkint decoder path (StkInterface::ProcessFrame streaming,
         # stkinterface.cpp:214-289): carried network state + per-block
         # records; KWS mode feeds sink values through the LRTrace state
@@ -142,8 +186,21 @@ class StreamingRecognizer:
             span = self._sample_buf[:need]
             self._sample_buf = self._sample_buf[spb:]
             self._first_frame_done = True
-            self._push_mel(self._norm_host(
-                self._front_fn(jnp.asarray(span))))
+            if (self._stk is None and not self.online_norm.enabled
+                    and self._mel_tail is not None
+                    and self._n_mel >= self.trap_shift):
+                # steady state: one fused dispatch for the whole block
+                last, self._mel_tail, self._carry, hist = \
+                    self._fused_block(jnp.asarray(span), self._mel_tail,
+                                      self._carry, self._n_decoded)
+                self._last_mel = last
+                for i, a in enumerate(hist):
+                    self._hist[i].append(a)
+                self._n_mel += self.block
+                self._n_decoded += self.block
+            else:
+                self._push_mel(self._norm_host(
+                    self._front_fn(jnp.asarray(span))))
 
     def _norm_host(self, par):
         if self.online_norm.enabled:
@@ -255,6 +312,30 @@ class StreamingRecognizer:
 
     def finish(self) -> List[Label]:
         """ProcessTail + Done: flush STC latency and backtrack."""
+        if (self._stk is None and not self.online_norm.enabled
+                and self._mel_tail is not None
+                and self._n_mel >= self.trap_shift):
+            # one fused dispatch for the whole tail (leftover frames +
+            # trap_shift last-frame repeats), avoiding the per-op remote
+            # lowering round trips of the generic flush path
+            buf = self._sample_buf
+            n = ((buf.shape[0] - self.vs) // self.step + 1
+                 if buf.shape[0] >= self.vs else 0)
+            cap = -(-max(n + self.trap_shift, 1) //
+                    self._frame_quantum) * self._frame_quantum
+            span_len = (cap - 1) * self.step + self.vs
+            span = np.zeros(span_len, buf.dtype)
+            take = min(buf.shape[0], span_len)
+            span[:take] = buf[:take]
+            self._sample_buf = buf[n * self.step :]
+            self._carry, hist = self._fused_finish(
+                jnp.asarray(span), jnp.int32(n), self._mel_tail,
+                self._carry, self._n_decoded)
+            for i, a in enumerate(hist):
+                self._hist[i].append(a)
+            self._n_mel += n
+            self._n_decoded += n + self.trap_shift
+            return self.results()
         self._flush_samples()
         if self._last_mel is None:
             return []
@@ -271,9 +352,12 @@ class StreamingRecognizer:
             return self._stk_results(settled_only)
         if not self._hist[0]:
             return []
+        # ONE batched device->host transfer for the whole history (a
+        # per-array np.asarray pays a round trip each; hours of audio
+        # accumulate hundreds of block arrays)
+        fetched = jax.device_get(self._hist)
         hist = phnloop.History(
-            *(np.concatenate([np.asarray(a) for a in h])[: self._n_decoded]
-              for h in self._hist))
+            *(np.concatenate(h)[: self._n_decoded] for h in fetched))
         labels = phnloop.backtrack(hist, self.sr.phonemes)
         if settled_only:
             tp = self.sr.cfg.get_int("decoder", "time_pruning")
