@@ -621,6 +621,7 @@ class KWSHit:
     start: int
     end: int
     score: float
+    new_estim: bool = False   # DECMSG_NEWESTIM re-emission (improveKwdEstim)
 
 
 class KWSTracker:
@@ -635,26 +636,35 @@ class KWSTracker:
 
     def __init__(self, keywords: Sequence[str],
                  time_pruning: float = 1e9,
-                 score_pruning: float = -np.inf):
+                 score_pruning: float = -np.inf,
+                 improve_kwd_estim: bool = False):
         self.keywords = list(keywords)
         self.time_pruning = time_pruning
         self.score_pruning = score_pruning   # kwsScorePruning (LR floor)
+        # improveKwdEstim (stkinterface.cpp:350-353): an already-dumped
+        # candidate whose end time moved is re-emitted as DECMSG_NEWESTIM
+        self.improve_kwd_estim = improve_kwd_estim
         K = len(keywords)
         self.t = 0                            # frames consumed so far
         self.last_lr = np.full(K, -np.inf)
         self.cand_lr = np.full(K, -np.inf)
         self.cand_start = np.zeros(K, np.int64)
         self.cand_end = np.zeros(K, np.int64)
+        self.prev_end = np.zeros(K, np.int64)
         self.dumped = np.zeros(K, bool)
         self.hits: List[KWSHit] = []
 
     def _flush(self, j: int) -> None:
-        if self.cand_end[j] != 0 and not self.dumped[j] and \
+        improved = (self.improve_kwd_estim and
+                    self.cand_end[j] != self.prev_end[j])
+        if self.cand_end[j] != 0 and (not self.dumped[j] or improved) and \
                 self.cand_lr[j] >= self.score_pruning:
             self.hits.append(KWSHit(self.keywords[j],
                                     int(self.cand_start[j]),
                                     int(self.cand_end[j]),
-                                    float(self.cand_lr[j])))
+                                    float(self.cand_lr[j]),
+                                    new_estim=bool(self.dumped[j])))
+            self.prev_end[j] = self.cand_end[j]
         self.dumped[j] = True
 
     def feed(self, word_vals: np.ndarray, filler: np.ndarray,

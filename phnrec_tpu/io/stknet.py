@@ -89,7 +89,8 @@ def parse_stk_network(path_or_text: str, is_text: bool = False) -> StkNetwork:
             f = fields[i]
             key, eq, val = f.partition("=")
             if node is None:
-                # first field: I=<id> or bare <id>, else a header line
+                # first field: I=<id> or bare <id>, J=<n> opens an
+                # HTK-SLF arc-definition line, else a header line
                 if not eq:
                     if key in ("N", "NODES", "L", "LINKS", "J", "S",
                                "VERSION"):
@@ -97,6 +98,25 @@ def parse_stk_network(path_or_text: str, is_text: bool = False) -> StkNetwork:
                     node = get_node(key)
                 elif key == "I":
                     node = get_node(val)
+                elif key == "J":
+                    # HTK-SLF / old-format arc line (Net_IO.cc:741-751,
+                    # 1223-1234): J=<n> S=<src> E=<dst> [a=..] [l=<like>]
+                    src = dst = None
+                    like = 0.0
+                    for f2 in fields[1:]:
+                        k2, _, v2 = f2.partition("=")
+                        if k2 in ("S", "START"):
+                            src = get_node(v2)
+                        elif k2 in ("E", "END"):
+                            dst = get_node(v2)
+                        elif k2 in ("l", "language"):
+                            like = float(v2)
+                        # a= (acoustic like), d= (div): accepted, unused
+                    if src is None or dst is None:
+                        raise ValueError(
+                            f"J= arc line needs S= and E=: {raw!r}")
+                    src.links.append((dst, like))
+                    break
                 else:
                     break  # header line (N=..., VERSION=..., etc.)
                 i += 1

@@ -15,12 +15,74 @@ words through a callback in the reference's three live output formats
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
 from typing import Callable, Optional
 
 from phnrec_tpu.io.labels import Label
 from phnrec_tpu.pipeline import SpeechRec
 from phnrec_tpu.streaming import StreamingRecognizer
+
+
+class ThreadedCapture:
+    """Capture thread + ring buffer (LWFSource, lwfsource.{cpp,h}).
+
+    A daemon thread reads 100 ms frames from the raw byte source into a
+    2 s ring (WFS_BUFFERLENGTH/WFS_FRAMELENGTH, lwfsource.cpp:104-106),
+    handing bytes to the consumer through a condition variable — a decode
+    stall shorter than the ring capacity never drops samples, unlike a
+    blocking read on the consumer thread.  Two reference behaviors kept:
+    recording STOPS when the ring cannot fit another frame
+    (lwfsource.cpp:160-176) and when the source ends; read() then returns
+    whatever is buffered and finally b''.
+    """
+
+    BUFFER_MS = 2000
+    FRAME_MS = 100
+
+    def __init__(self, stream, bytes_per_second: int):
+        frame = max(1, bytes_per_second * self.FRAME_MS // 1000)
+        self.frame_len = frame
+        self.capacity = frame * (self.BUFFER_MS // self.FRAME_MS)
+        self._buf = bytearray()
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._stream = stream
+        self._recording = True
+        self._thread = threading.Thread(target=self._capture, daemon=True)
+        self._thread.start()
+
+    def _capture(self) -> None:
+        while True:
+            with self._cond:
+                if not self._recording or \
+                        len(self._buf) + self.frame_len > self.capacity:
+                    self._recording = False
+                    self._cond.notify_all()
+                    return
+            data = self._stream.read(self.frame_len)
+            with self._cond:
+                if not data:
+                    self._recording = False
+                    self._cond.notify_all()
+                    return
+                self._buf.extend(data)
+                self._cond.notify_all()
+
+    def read(self, n: int) -> bytes:
+        """Blocking read of up to n bytes (empty only after the end)."""
+        with self._cond:
+            while self._recording and not self._buf:
+                self._cond.wait()
+            out = bytes(self._buf[:n])
+            del self._buf[:n]
+            return out
+
+    def close(self) -> None:
+        with self._cond:
+            self._recording = False
+            self._cond.notify_all()
 
 
 def format_live(label: Label, fmt: str) -> str:
@@ -50,6 +112,22 @@ def run_live(sr: SpeechRec, out_format: str = "str",
     else:
         stream = open(source, "rb")
 
+    # live sources (pipes, character devices like /dev/dsp) go through
+    # the capture-thread ring so slow decode does not drop samples; plain
+    # file replay reads directly (the reference's LWFSource serves only
+    # the audio device, lwfsource.h:40-80)
+    capture = None
+    try:
+        seekable = stream.seekable()
+    except Exception:
+        seekable = False
+    if not seekable:
+        rate = sr.cfg.get_int("source", "sample_freq")
+        capture = ThreadedCapture(stream, rate * bytes_per_sample)
+        stream_read = capture.read
+    else:
+        stream_read = stream.read
+
     rec = StreamingRecognizer(sr)
     # live KWS drops detections below the per-keyword threshold — the
     # callback filter in phnrec.cpp:81-83; label files keep every candidate
@@ -60,7 +138,7 @@ def run_live(sr: SpeechRec, out_format: str = "str",
     n = 0
     try:
         while True:
-            data = stream.read(chunk)
+            data = stream_read(chunk)
             if not data:
                 break
             rec.process(data)
@@ -74,6 +152,8 @@ def run_live(sr: SpeechRec, out_format: str = "str",
             if max_chunks is not None and n >= max_chunks:
                 break
     finally:
+        if capture is not None:
+            capture.close()
         if stream is not sys.stdin.buffer:
             stream.close()
     final = rec.finish()

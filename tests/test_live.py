@@ -44,3 +44,61 @@ def test_run_live_file_replay(reference_dir, tmp_path):
         "wf", "str", audio.load_waveform_bytes(str(src)))
     offline = [l.name for l in res.labels]
     assert names == offline
+
+
+def test_threaded_capture_ring():
+    """Capture thread + ring (LWFSource semantics): bytes arrive intact
+    and in order through the cond-var handoff; a pipe source streams."""
+    import os as _os
+    import threading
+    import time
+
+    from phnrec_tpu.live import ThreadedCapture
+
+    rfd, wfd = _os.pipe()
+    payload = bytes(range(256)) * 40          # 10240 bytes
+
+    def writer():
+        with _os.fdopen(wfd, "wb") as w:
+            for i in range(0, len(payload), 800):
+                w.write(payload[i : i + 800])
+                w.flush()
+                time.sleep(0.002)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    cap = ThreadedCapture(_os.fdopen(rfd, "rb"), bytes_per_second=16000)
+    got = b""
+    while True:
+        b = cap.read(1000)
+        if not b:
+            break
+        got += b
+    t.join()
+    assert got == payload
+
+
+def test_threaded_capture_overflow_stops_recording():
+    """Reference quirk kept: when the ring cannot fit another frame the
+    capture thread stops permanently (lwfsource.cpp:160-176); buffered
+    bytes still drain."""
+    import io
+    import time
+
+    from phnrec_tpu.live import ThreadedCapture
+
+    class Endless:
+        def read(self, n):
+            return b"x" * n
+
+    cap = ThreadedCapture(Endless(), bytes_per_second=1000)
+    # 2 s ring at 1000 B/s = 2000 bytes capacity; let it fill + stop
+    time.sleep(0.2)
+    got = b""
+    while True:
+        b = cap.read(500)
+        if not b:
+            break
+        got += b
+    assert len(got) <= cap.capacity
+    assert len(got) >= cap.capacity - cap.frame_len

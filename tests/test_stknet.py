@@ -230,3 +230,53 @@ def test_kws_tracker_streaming_equals_offline(tmp_path):
     got.sort(key=lambda h: (h.start, h.end, h.word))
     assert [(h.word, h.start, h.end, round(h.score, 4)) for h in got] == \
         [(h.word, h.start, h.end, round(h.score, 4)) for h in want]
+
+
+def test_parse_htk_slf_lattice():
+    """HTK-SLF dialect: VERSION/N/L header, I= node lines with t=/W=,
+    standalone J= arc lines with S=/E=/a=/l= (Net_IO.cc:741-751)."""
+    from phnrec_tpu.io.stknet import parse_stk_network
+
+    slf = """\
+VERSION=1.0 lmscale=1.0
+N=4 L=4
+I=0 t=0.00 W=!NULL
+I=1 t=0.10 W=hello
+I=2 t=0.15 W=world
+I=3 t=0.30 W=!NULL
+J=0 S=0 E=1 a=-120.5 l=-1.5
+J=1 S=0 E=2 l=-2.5
+J=2 S=1 E=3 l=0.0
+J=3 S=2 E=3 l=-0.25
+"""
+    net = parse_stk_network(slf, is_text=True)
+    assert len(net.nodes) == 4
+    n0 = net.nodes[0]
+    assert n0.word is None and len(n0.links) == 2
+    tgt, like = n0.links[0]
+    assert tgt.word == "hello" and like == -1.5
+    assert net.nodes[1].links[0][0] is net.nodes[3]
+    assert net.last is net.nodes[3]
+
+
+def test_kws_tracker_improve_kwd_estim():
+    """improveKwdEstim re-emits an already-dumped candidate whose end
+    moved, flagged new_estim (stkinterface.cpp:350-353)."""
+    from phnrec_tpu.decoder.stknet import KWSTracker
+
+    filler = np.zeros(30, np.float32)
+    wv = np.full((30, 1), -5.0, np.float32)
+    wv[5:12, 0] = np.linspace(-1, 2.0, 7)   # growing LR, end drifts
+    wv[20, 0] = 3.0   # the SAME hypothesis improves after the stale dump
+    st = np.zeros((30, 1), np.int64)
+    tr = KWSTracker(["kw"], time_pruning=4, improve_kwd_estim=True)
+    tr.feed(wv, filler, st)
+    tr.finish()
+    assert len(tr.hits) >= 2
+    assert not tr.hits[0].new_estim
+    assert any(h.new_estim for h in tr.hits[1:])
+    # without the flag: a single emission
+    tr2 = KWSTracker(["kw"], time_pruning=4)
+    tr2.feed(wv, filler, st)
+    tr2.finish()
+    assert len(tr2.hits) == 1
