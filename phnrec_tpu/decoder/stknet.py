@@ -637,13 +637,20 @@ class KWSTracker:
     def __init__(self, keywords: Sequence[str],
                  time_pruning: float = 1e9,
                  score_pruning: float = -np.inf,
-                 improve_kwd_estim: bool = False):
+                 improve_kwd_estim: bool = False,
+                 keyword0_time_quirk: bool = True):
         self.keywords = list(keywords)
         self.time_pruning = time_pruning
         self.score_pruning = score_pruning   # kwsScorePruning (LR floor)
         # improveKwdEstim (stkinterface.cpp:350-353): an already-dumped
         # candidate whose end time moved is re-emitted as DECMSG_NEWESTIM
         self.improve_kwd_estim = improve_kwd_estim
+        # the reference's time-pruned flush tests `lrt->candidateEndTime`
+        # — KEYWORD 0's candidate age — for every keyword
+        # (stkinterface.cpp:285-288, an indexing slip).  Kept by default
+        # for output parity (it changes which end-time an emitted
+        # candidate carries); pass False for the per-keyword check.
+        self.keyword0_time_quirk = keyword0_time_quirk
         K = len(keywords)
         self.t = 0                            # frames consumed so far
         self.last_lr = np.full(K, -np.inf)
@@ -655,17 +662,20 @@ class KWSTracker:
         self.hits: List[KWSHit] = []
 
     def _flush(self, j: int) -> None:
+        """PutKWSCandidateToLabels (stkinterface.cpp:349-377): emit when a
+        candidate exists and is undumped (or improved); ``dumped`` is set
+        only on emission, exactly as the reference does."""
         improved = (self.improve_kwd_estim and
                     self.cand_end[j] != self.prev_end[j])
-        if self.cand_end[j] != 0 and (not self.dumped[j] or improved) and \
-                self.cand_lr[j] >= self.score_pruning:
-            self.hits.append(KWSHit(self.keywords[j],
-                                    int(self.cand_start[j]),
-                                    int(self.cand_end[j]),
-                                    float(self.cand_lr[j]),
-                                    new_estim=bool(self.dumped[j])))
+        if self.cand_end[j] != 0 and (not self.dumped[j] or improved):
+            if self.cand_lr[j] >= self.score_pruning:
+                self.hits.append(KWSHit(self.keywords[j],
+                                        int(self.cand_start[j]),
+                                        int(self.cand_end[j]),
+                                        float(self.cand_lr[j]),
+                                        new_estim=bool(self.dumped[j])))
             self.prev_end[j] = self.cand_end[j]
-        self.dumped[j] = True
+            self.dumped[j] = True
 
     def feed(self, word_vals: np.ndarray, filler: np.ndarray,
              start_times: np.ndarray) -> List[KWSHit]:
@@ -689,8 +699,10 @@ class KWSTracker:
             self.cand_lr = np.where(take, lr, self.cand_lr)
             self.last_lr = np.where(active, lr, -np.inf)
             if self.time_pruning < 1e9:
-                stale = (self.cand_end != 0) & (
-                    (t + 1) - self.cand_end >= self.time_pruning)
+                ref_end = (np.full_like(self.cand_end, self.cand_end[0])
+                           if self.keyword0_time_quirk else self.cand_end)
+                stale = active & (ref_end != 0) & (
+                    (t + 1) - ref_end >= self.time_pruning)
                 for j in np.nonzero(stale & ~self.dumped)[0]:
                     self._flush(int(j))
         self.t += F

@@ -66,3 +66,48 @@ def test_long_adverse_decode_matches_oracle(oracle_bin, tmp_path):
         [(w.start_frames, w.end_frames, w.name) for w in want]
     np.testing.assert_allclose([l.score for l in got.labels],
                                [w.score for w in want], atol=2e-2)
+
+
+@pytest.fixture(scope="module")
+def vadalize_bin(oracle_bin):
+    """Build the vadalize variant (phndecalize.o in place of phndec.o,
+    makefile.lin:64-84)."""
+    exe = os.path.join(ORACLE_DIR, "vadalize")
+    if not os.path.exists(exe):
+        src = os.path.join(ORACLE_DIR, "vadalize_fixed.cpp")
+        if not os.path.exists(src):
+            with open(os.path.join(ORACLE_DIR, "vadalize.cpp")) as f:
+                code = f.read()
+            with open(src, "w") as f:
+                f.write(code.replace('#include "getopt.h"',
+                                     "#include <unistd.h>"))
+        srcs = ("melbanks.cpp dspc.cpp traps.cpp nn.cpp configz.cpp "
+                "alaw.cpp lwfsource.cpp srec.cpp filename.cpp norm.cpp "
+                "decoder.cpp phndecalize.cpp vadalize_fixed.cpp "
+                "sxmlparser.cpp").split()
+        try:
+            subprocess.run(
+                ["g++", "-o", exe, "-I", ".", "-fpermissive",
+                 "-Wno-narrowing", "-D", "NN_FAST_EXP", "-D", "PHNREC_ONLY",
+                 "-O2", *srcs, "-lpthread"],
+                cwd=ORACLE_DIR, check=True, capture_output=True, timeout=300)
+        except Exception:
+            pytest.skip("vadalize oracle build failed")
+    return exe
+
+
+def test_vadalize_matches_oracle(vadalize_bin, tmp_path):
+    """Our ALIZE VAD lines must byte-match the reference vadalize."""
+    out = tmp_path / "oracle_vad.txt"
+    subprocess.run([vadalize_bin, "-c", CZ, "-i",
+                    "/root/reference/test.raw", "-o", str(out)],
+                   check=True, capture_output=True, timeout=300)
+    want = out.read_text().splitlines()
+
+    from phnrec_tpu.pipeline import SpeechRec
+    from phnrec_tpu.vad import labels_to_alize
+    sr = SpeechRec(CZ)
+    res = sr.process_offline(
+        "wf", "str", open("/root/reference/test.raw", "rb").read())
+    got = labels_to_alize(res.labels)
+    assert got == want
