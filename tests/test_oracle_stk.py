@@ -115,3 +115,49 @@ def test_kws_matches_engine(full_oracle, tmp_path):
         assert abs(g[3] - w[3]) < 2e-2, (g, w)
         exact_ends += g[1] == w[1]
     assert exact_ends >= 0.9 * len(want)
+
+
+WORDNET = """\
+0\t3 20
+1
+2\t3 20 1
+3\tM=n\t4
+4\tM=e\t5
+5\tM=b\t6
+6\tM=u\t7
+7\tM=d\t8
+8\tM=e\t9
+9\tW=nebude\t2
+20\tM=t\t21
+21\tM=a\t22
+22\tM=k\t23
+23\tM=t\t24
+24\tM=o\t25
+25\tW=takto\t2
+"""
+
+
+def test_word_network_matches_engine(full_oracle, tmp_path):
+    """A branching WORD network (two multi-phone words in a loop, forced
+    segmentation) — generic network structure beyond the phoneme-loop /
+    KWS topologies, decoded identically by both engines."""
+    net = tmp_path / "wordnet"
+    net.write_text(WORDNET)
+    extra = f"\n[networks]\ndefault={net}\ngen_phn_loop=false\n"
+    pkg = _mk_package(tmp_path / "pkg", extra_sections=extra)
+    out = tmp_path / "oracle_word.rec"
+    subprocess.run([full_oracle, "-c", pkg, "-i", TEST_RAW, "-o", str(out)],
+                   check=True, capture_output=True, timeout=300)
+    want = _read_rec(out)
+    assert len(want) >= 5
+
+    from phnrec_tpu.pipeline import SpeechRec
+    sr = SpeechRec(pkg)
+    res = sr.process_offline("wf", "str", open(TEST_RAW, "rb").read())
+    got = [(l.start_frames, l.end_frames, l.name, l.score)
+           for l in res.labels]
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    # forced multi-second word segments accumulate more float drift than
+    # phoneme-sized ones
+    np.testing.assert_allclose([g[3] for g in got], [w[3] for w in want],
+                               atol=1e-1)
