@@ -703,7 +703,10 @@ class KWSTracker:
                            if self.keyword0_time_quirk else self.cand_end)
                 stale = active & (ref_end != 0) & (
                     (t + 1) - ref_end >= self.time_pruning)
-                for j in np.nonzero(stale & ~self.dumped)[0]:
+                # _flush itself decides dumped/improved (the reference
+                # calls PutKWSCandidateToLabels unconditionally here, so
+                # improveKwdEstim re-emissions fire at time-prune points)
+                for j in np.nonzero(stale)[0]:
                     self._flush(int(j))
         self.t += F
         return self.hits[first:]

@@ -176,26 +176,45 @@ class FSM:
         self.start = remap[self.start]
 
     # ---- paths --------------------------------------------------------
-    def shortest_distance(self) -> List[float]:
-        """Semiring distance from the start to every node (tropical:
-        Bellman-Ford shortest path; log: path-sum to convergence)."""
+    def shortest_distance(self, tol: float = 1e-10,
+                          max_relax: Optional[int] = None) -> List[float]:
+        """Semiring distance from the start to every node: tropical =
+        shortest path, log = minus-log of the path-weight sum.
+
+        Generic single-source algorithm (the residual formulation used
+        for non-idempotent semirings): every node carries the mass not
+        yet propagated onward, so each path contributes exactly once —
+        naive Bellman rounds would re-add already-accumulated mass in the
+        log semiring.  Cycles converge geometrically; ``max_relax`` caps
+        the work on pathological non-convergent weights."""
         INF = float("inf")
-        dist = [INF] * len(self.nodes)
-        dist[self.start] = 0.0
-        changed = True
-        rounds = 0
-        while changed and rounds <= len(self.nodes) + 2:
-            changed = False
-            rounds += 1
-            for i, node in enumerate(self.nodes):
-                if dist[i] == INF:
-                    continue
-                for a in node.arcs:
-                    nd = sr_plus(self.semiring, dist[a.target],
-                                 sr_times(self.semiring, dist[i], a.weight))
-                    if nd < dist[a.target] - 1e-12:
-                        dist[a.target] = nd
-                        changed = True
+        n = len(self.nodes)
+        dist = [INF] * n
+        resid = [INF] * n
+        dist[self.start] = resid[self.start] = 0.0
+        queue = [self.start]
+        queued = [False] * n
+        queued[self.start] = True
+        steps = 0
+        cap = max_relax if max_relax is not None else 10000 * (n + 1)
+        while queue and steps < cap:
+            steps += 1
+            q = queue.pop(0)
+            queued[q] = False
+            rho, resid[q] = resid[q], INF
+            if rho == INF:
+                continue
+            for a in self.nodes[q].arcs:
+                m = sr_times(self.semiring, rho, a.weight)
+                nd = m if dist[a.target] == INF else \
+                    sr_plus(self.semiring, dist[a.target], m)
+                if dist[a.target] == INF or nd < dist[a.target] - tol:
+                    dist[a.target] = nd
+                    resid[a.target] = m if resid[a.target] == INF else \
+                        sr_plus(self.semiring, resid[a.target], m)
+                    if not queued[a.target]:
+                        queued[a.target] = True
+                        queue.append(a.target)
         return dist
 
     # ---- SVite/STK node-graph conversion (fsm.cpp:1273-1406) ----------
@@ -345,6 +364,14 @@ def compose(A: FSM, B: FSM) -> FSM:
     pairs matching labels.  See the module docstring for the two
     deliberate deviations from the reference (standard label writeback +
     full product on equal-label runs; composed terminal weights).
+
+    Epsilon caveat (inherited from the reference's algorithm): there is
+    no epsilon-sequencing filter, so when A has output-eps arcs AND B has
+    input-eps arcs from the same composed state, both single-sided moves
+    are taken and eps-eps path regions are duplicated.  Path SETS are
+    unaffected and tropical weights dedup via min, but log-semiring
+    path-sums over such regions are overcounted — use an eps-filter
+    composition if that matters.
     """
     if A.semiring != B.semiring:
         raise ValueError("compose requires matching semirings")

@@ -112,16 +112,21 @@ def run_live(sr: SpeechRec, out_format: str = "str",
     else:
         stream = open(source, "rb")
 
-    # live sources (pipes, character devices like /dev/dsp) go through
-    # the capture-thread ring so slow decode does not drop samples; plain
-    # file replay reads directly (the reference's LWFSource serves only
-    # the audio device, lwfsource.h:40-80)
+    # audio DEVICES (e.g. /dev/dsp) go through the capture-thread ring so
+    # slow decode does not drop samples — exactly the scope of the
+    # reference's LWFSource (lwfsource.h:40-80).  Pipes/stdin/files read
+    # directly: pipe backpressure is already lossless, and the ring's
+    # stop-on-overflow semantics would truncate faster-than-realtime
+    # piped input.
     capture = None
+    is_chardev = False
     try:
-        seekable = stream.seekable()
+        import stat
+
+        is_chardev = stat.S_ISCHR(os.fstat(stream.fileno()).st_mode)
     except Exception:
-        seekable = False
-    if not seekable:
+        is_chardev = False
+    if is_chardev:
         rate = sr.cfg.get_int("source", "sample_freq")
         capture = ThreadedCapture(stream, rate * bytes_per_sample)
         stream_read = capture.read
@@ -158,5 +163,9 @@ def run_live(sr: SpeechRec, out_format: str = "str",
             stream.close()
     final = rec.finish()
     for lab in final[emitted:]:
+        # the threshold filter applies to EVERY live emission, including
+        # the Done-time flush (phnrec.cpp:81-83)
+        if thr is not None and lab.score < thr.get(lab.name):
+            continue
         emit(format_live(lab, out_format))
     return final

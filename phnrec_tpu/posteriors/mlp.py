@@ -131,6 +131,13 @@ def forward(net: MLPDevice, x: jnp.ndarray, fast: bool = True,
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas:
+        if net.w1.shape[0] % 128 or net.w1.shape[1] % 128 or \
+                net.w2.shape[1] % 128:
+            raise ValueError(
+                "the fused Pallas kernel needs 128-multiple padding; "
+                "build the net with mlp.to_device(p, pad=128) (set "
+                "PHNREC_TPU_PALLAS_MLP=1 before loading to make it the "
+                "default)")
         from phnrec_tpu.ops.pallas_mlp import mlp_forward_fused
         o = mlp_forward_fused(x, net.mean, net.dev, net.w1, net.b1,
                               net.w2, net.b2, n_out=net.n_out, fast=fast,

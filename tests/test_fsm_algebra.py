@@ -151,3 +151,27 @@ def test_convert2_svite():
     w2 = f.nodes.index(words[0])
     assert any(a.target == m1 for a in f.nodes[f.start].arcs)
     assert any(a.target == w2 for a in f.nodes[m1].arcs)
+
+
+def test_shortest_distance_log_semiring():
+    """Log semiring: distance = -log of the path-weight sum; the residual
+    algorithm must count each path exactly once (naive Bellman rounds
+    re-add accumulated mass)."""
+    f = FSM(semiring=SEMIRING_LOG)
+    n0, n1, n2 = f.add_node(), f.add_node(), f.add_node()
+    f.start = n0
+    f.add_arc(n0, 1, 1, 1.0, n1)
+    f.add_arc(n0, 2, 2, 0.5, n2)
+    f.add_arc(n2, 3, 3, 0.0, n1)
+    d = f.shortest_distance()
+    want = -math.log(math.exp(-1.0) + math.exp(-0.5))
+    assert d[n1] == pytest.approx(want, abs=1e-6)
+    # cyclic: geometric series  sum_k e^-(1 + 2k) = e^-1 / (1 - e^-2)
+    g = FSM(semiring=SEMIRING_LOG)
+    a, b = g.add_node(), g.add_node()
+    g.start = a
+    g.add_arc(a, 1, 1, 1.0, b)
+    g.add_arc(b, 1, 1, 2.0, b)        # self loop
+    d = g.shortest_distance()
+    want = -math.log(math.exp(-1.0) / (1.0 - math.exp(-2.0)))
+    assert d[b] == pytest.approx(want, abs=1e-6)

@@ -102,3 +102,43 @@ def test_threaded_capture_overflow_stops_recording():
         got += b
     assert len(got) <= cap.capacity
     assert len(got) >= cap.capacity - cap.frame_len
+
+
+def test_run_live_pipe_is_lossless(tmp_path):
+    """Pipes/stdin read directly (backpressure, no ring): a faster-than-
+    realtime pipe must not be truncated by the device ring's
+    stop-on-overflow semantics."""
+    import os as _os
+    import threading
+
+    from phnrec_tpu.live import run_live
+    from phnrec_tpu.pipeline import SpeechRec
+
+    raw = open("/root/reference/test.raw", "rb").read()[: 16000 * 2 * 3]
+    rfd, wfd = _os.pipe()
+
+    def writer():
+        with _os.fdopen(wfd, "wb") as w:
+            w.write(raw)    # all at once — way faster than realtime
+
+    t = threading.Thread(target=writer)
+    t.start()
+    sr = SpeechRec(package_dir("en"))
+    # replay the same bytes through a file for the expected labels
+    f = tmp_path / "ref.raw"
+    f.write_bytes(raw)
+    want = run_live(sr, out_format="str", source=str(f), emit=lambda s: None)
+    stream = _os.fdopen(rfd, "rb")
+    import phnrec_tpu.live as live_mod
+    import sys as _sys
+    old = _sys.stdin
+    try:
+        class FakeStdin:
+            buffer = stream
+        _sys.stdin = FakeStdin()
+        got = run_live(sr, out_format="str", source="-",
+                       emit=lambda s: None)
+    finally:
+        _sys.stdin = old
+        t.join()
+    assert [l.name for l in got] == [l.name for l in want]
