@@ -155,3 +155,39 @@ def parse_stk_network(path_or_text: str, is_text: bool = False) -> StkNetwork:
     if not order:
         raise ValueError("empty network")
     return StkNetwork(nodes=order)
+
+
+def write_stk_network(net: StkNetwork, path_or_file) -> None:
+    """Write a network in the STK dialect (WriteSTKNetwork,
+    Net_IO.cc:144-230 with default format flags): `N=` header, one
+    `I=<idx>` line per node in document order with `W=`/`M=`, `v=`
+    pronunciation variant, `f=` T/K flags, and `E=<idx> [l=<like>]`
+    arcs.  Round-trips through parse_stk_network; used to persist
+    net_ops-transformed networks (dictionary/triphone expansion,
+    lattice optimization)."""
+    own = isinstance(path_or_file, str)
+    f = open(path_or_file, "w") if own else path_or_file
+    try:
+        index = {id(n): i for i, n in enumerate(net.nodes)}
+        n_links = sum(len(n.links) for n in net.nodes)
+        f.write(f"N={len(net.nodes)} L={n_links}\n")
+        for i, n in enumerate(net.nodes):
+            parts = [f"I={i}"]
+            if n.is_model:
+                parts.append(f"M={n.model}")
+            else:
+                parts.append(f"W={n.word if n.word is not None else '!NULL'}")
+                if n.word is not None and n.pron_var != 1:
+                    parts.append(f"v={n.pron_var}")
+            if n.ntype & (NT_TRUE | NT_STICKY):
+                flags = ("T" if n.ntype & NT_TRUE else "") + \
+                        ("K" if n.ntype & NT_STICKY else "")
+                parts.append(f"f={flags}")
+            for tgt, like in n.links:
+                parts.append(f"E={index[id(tgt)]}")
+                if like != 0.0:
+                    parts.append(f"l={like:g}")
+            f.write(" ".join(parts) + "\n")
+    finally:
+        if own:
+            f.close()

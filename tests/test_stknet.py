@@ -280,3 +280,41 @@ def test_kws_tracker_improve_kwd_estim():
     tr2.feed(wv, filler, st)
     tr2.finish()
     assert len(tr2.hits) == 1
+
+
+def test_write_stk_network_roundtrip(tmp_path):
+    """Generated loop network + a lattice with flags/likes round-trip
+    through write_stk_network -> parse_stk_network."""
+    from phnrec_tpu.io.stknet import parse_stk_network, write_stk_network
+
+    phn_list_to_hmm_defs(CZ_PHONEMES, str(tmp_path / "models"), 3)
+    phn_list_to_phn_loop(CZ_PHONEMES, str(tmp_path / "network"), "oth")
+    net = parse_stk_network(str(tmp_path / "network"))
+    write_stk_network(net, str(tmp_path / "net2"))
+    net2 = parse_stk_network(str(tmp_path / "net2"))
+    assert len(net2.nodes) == len(net.nodes)
+    # node i of the original is written as I=i; re-parsed nodes may sit
+    # at different list positions (created on first REFERENCE), so match
+    # through the ident
+    by_ident = {n.ident: n for n in net2.nodes}
+    for i, a in enumerate(net.nodes):
+        b = by_ident[str(i)]
+        assert (a.word, a.model, a.ntype & 0xC) == \
+            (b.word, b.model, b.ntype & 0xC)
+        assert [str(net.nodes.index(t)) for t, _ in a.links] == \
+            [t.ident for t, _ in b.links]
+
+    slf = """\
+I=0 W=!NULL
+I=1 W=hello f=K v=2
+I=2 W=!NULL
+J=0 S=0 E=1 l=-1.5
+J=1 S=1 E=2 l=-0.25
+"""
+    net3 = parse_stk_network(slf, is_text=True)
+    write_stk_network(net3, str(tmp_path / "net3"))
+    net4 = parse_stk_network(str(tmp_path / "net3"))
+    assert net4.nodes[1].word == "hello"
+    assert net4.nodes[1].is_sticky and net4.nodes[1].pron_var == 2
+    assert net4.nodes[0].links[0][1] == -1.5
+    assert net4.nodes[1].links[0][1] == -0.25
