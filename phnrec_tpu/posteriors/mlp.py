@@ -96,16 +96,17 @@ def _use_pallas_default() -> bool:
     * 2026-08-20, v5e chip, batch 1024 x 759 frames, CZ N1500 nets: XLA's
       own fusion of the norm+GEMM+sigmoid+GEMM+softmax chain beat the
       hand-written kernel at every precision (HIGHEST: 0.179 s vs 0.188 s;
-      HIGH: 0.118 s vs 0.132 s per batch).  At Precision.HIGH the chain
-      runs at ~60% of the chip's 3-pass-bf16 matmul roofline, so the
-      remaining headroom is small.
-    * 2026-08-21, same chip via the axon tunnel: the fused kernel no
-      longer executes at all (Mosaic runs hang or die with
-      FailedPrecondition; a trivial pallas_call works, so it is this
-      kernel's lowering on that backend, not Pallas per se).
+      HIGH: 0.118 s vs 0.132 s per batch).
+    * 2026-08-21, per-net head-to-head at 765k rows, Precision.HIGH:
+      XLA with sublane (8) padding 24.3 ms; XLA with 128-padding 27.9 ms;
+      Pallas kernel 27.2 ms at its best tile (512; tile 2048 exceeds the
+      16 MB VMEM budget).  The chain runs at ~60%+ of the chip's
+      3-pass-bf16 matmul roofline, so the remaining headroom is small and
+      XLA's ragged-dim layouts take it.
 
     The kernel stays an opt-in (PHNREC_TPU_PALLAS_MLP=1 or
-    use_pallas=True) and is covered by interpret-mode parity tests."""
+    use_pallas=True, weights padded to 128) and is covered by
+    interpret-mode parity tests."""
     import os
     return os.environ.get("PHNREC_TPU_PALLAS_MLP", "") == "1" and (
         jax.default_backend() == "tpu")
