@@ -261,6 +261,32 @@ class NetworkDecoder:
         # global <InputXform>
         self.model_set_input_xform = None
 
+        # Dense incoming-edge tables: for each destination, the edge ids
+        # feeding it, ascending (row-padded with -1).  The per-frame
+        # reductions become gather + max over a static K axis instead of
+        # jax.ops.segment_max — segment reductions lower to scatters that
+        # crawl under vmap (batched decode measured ~10x slower).
+        # Ascending edge ids per row + argmax-first-match = the same
+        # first-wins tie-breaking as PassTokenMax (Viterbi.cc:1727-1752).
+        def dense_in(dst: np.ndarray, num: int) -> np.ndarray:
+            rows = [[] for _ in range(num)]
+            for k, d in enumerate(np.asarray(dst)):
+                rows[int(d)].append(k)
+            K = max((len(r) for r in rows), default=1) or 1
+            out = np.full((num, K), -1, np.int64)
+            for i, r in enumerate(rows):
+                out[i, : len(r)] = r
+            return out
+
+        self.in_dense = jnp.asarray(dense_in(c.in_dst, c.n_states))
+        self.ex_dense = jnp.asarray(dense_in(c.ex_dst_model, c.n_models))
+        self.cm_dense = jnp.asarray(
+            dense_in(np.asarray([e.dst for e in self.cm], np.int64),
+                     c.n_models))
+        self.cs_dense = jnp.asarray(
+            dense_in(np.asarray([e.sink for e in self.cs], np.int64),
+                     self.n_sinks)) if self.cs else None
+
     # -- initial entry values (ViterbiInit: token like 0 in first node,
     #    then one network propagation)
     def _init_entry(self):
@@ -314,14 +340,16 @@ class NetworkDecoder:
         E, M = c.n_states, c.n_models
         n_cm = self.cm_src.shape[0]
 
-        def seg_max_argmax(vals, seg, num, order):
-            """max + first-wins argmax (by `order` = original edge index)."""
-            mx = jax.ops.segment_max(vals, seg, num_segments=num)
-            mx = jnp.where(jnp.isfinite(mx), mx, NEG)
-            cand = jnp.where(vals >= mx[seg], order,
-                             jnp.iinfo(jnp.int32).max)
-            am = jax.ops.segment_min(cand, seg, num_segments=num)
-            return mx, am
+        def dense_max_argmax(vals, dense):
+            """Per-destination max + first-wins argmax over the dense
+            incoming-edge table (rows ascending by edge id, -1 padded;
+            index -1 wraps to the appended NEG sentinel)."""
+            v = jnp.concatenate([vals, jnp.full((1,), NEG, vals.dtype)])
+            picked = v[dense]                           # [num, K]
+            mx = jnp.max(picked, axis=1)
+            k = jnp.argmax(picked, axis=1)              # first max = low id
+            am = jnp.take_along_axis(dense, k[:, None], axis=1)[:, 0]
+            return mx, am.astype(jnp.int32)
 
         in_src_m = self.in_src.clip(0, M - 1)
         in_src_s = self.in_src.clip(0, E - 1)
@@ -336,8 +364,7 @@ class NetworkDecoder:
             src_wt = jnp.where(self.in_entry, entry_wt[in_src_m],
                                wt[in_src_s])
             vals = src_val + self.in_w
-            order = jnp.arange(vals.shape[0], dtype=jnp.int32)
-            new_alpha, in_am = seg_max_argmax(vals, self.in_dst, E, order)
+            new_alpha, in_am = dense_max_argmax(vals, self.in_dense)
             new_wt = src_wt[in_am.clip(0, vals.shape[0] - 1)]
             new_alpha = new_alpha + obs_t
             # beam pruning against the best token like (Viterbi.cc:1359)
@@ -345,18 +372,14 @@ class NetworkDecoder:
             new_alpha = jnp.where(new_alpha >= thresh, new_alpha, NEG)
             # exit: from UPDATED alpha (Viterbi.cc:1663-1686)
             ex_vals = new_alpha[self.ex_src] + self.ex_w
-            ex_order = jnp.arange(ex_vals.shape[0], dtype=jnp.int32)
-            exit_val, ex_am = seg_max_argmax(ex_vals, self.ex_dst, M,
-                                             ex_order)
+            exit_val, ex_am = dense_max_argmax(ex_vals, self.ex_dense)
             exit_wt = new_wt[self.ex_src[ex_am.clip(0, ex_vals.shape[0]
                                                     - 1)]]
 
             # network closure: model exits -> entries & sinks
             cm_vals = exit_val[self.cm_src.clip(0)] + self.cm_w
             cm_vals = jnp.where(self.cm_src < 0, NEG, cm_vals)
-            cm_order = jnp.arange(n_cm, dtype=jnp.int32)
-            nentry, cm_am = seg_max_argmax(cm_vals, self.cm_dst, M,
-                                           cm_order)
+            nentry, cm_am = dense_max_argmax(cm_vals, self.cm_dense)
             nentry = jnp.where(nentry >= thresh, nentry, NEG)
             cm_am_c = cm_am.clip(0, n_cm - 1)
             nentry_wt = jnp.where(
@@ -366,9 +389,7 @@ class NetworkDecoder:
             if self.cs_src.shape[0] > 0:
                 cs_vals = exit_val[self.cs_src.clip(0)] + self.cs_w
                 cs_vals = jnp.where(self.cs_src < 0, NEG, cs_vals)
-                sink_val, cs_am = seg_max_argmax(
-                    cs_vals, self.cs_sink, self.n_sinks,
-                    jnp.arange(cs_vals.shape[0], dtype=jnp.int32))
+                sink_val, cs_am = dense_max_argmax(cs_vals, self.cs_dense)
                 sink_wt = exit_wt[self.cs_src.clip(0)[
                     cs_am.clip(0, cs_vals.shape[0] - 1)]]
             else:
