@@ -41,8 +41,43 @@ def _golden_segments():
     return segs
 
 
+def _run_companion(timeout_s: float = 420.0) -> dict:
+    """Real-pipeline companion metric (mixed-length corpus from disk; see
+    benchmarks/mixed_length.py), run as a KILLABLE SUBPROCESS before this
+    process touches the TPU — a watchdog thread cannot be cancelled and
+    would leave torn in-process TPU state on timeout, and the backend
+    tolerates only one TPU process at a time, so the subprocess must
+    finish (or die) before the hero benchmark initializes JAX."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.setdefault("PHNREC_TPU_PRECISION", "high")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benchmarks", "mixed_length.py"),
+             "1024"],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"metric": "mixed_corpus_error",
+                "error": f"rc={proc.returncode}: "
+                         f"{proc.stderr.strip()[-300:]}"}
+    except subprocess.TimeoutExpired:
+        return {"metric": "mixed_corpus_error", "error": "timeout"}
+    except Exception as e:  # never sink the hero metric
+        return {"metric": "mixed_corpus_error", "error": str(e)}
+
+
 def main() -> None:
     import os
+
+    # companion first: it owns the TPU for its lifetime, then exits
+    mixed = _run_companion()
 
     import jax
 
@@ -124,30 +159,9 @@ def main() -> None:
     total_audio = batch * audio_seconds_per_utt
     value = total_audio / dt
 
-    # real-pipeline companion metric: mixed-length corpus from disk
-    # (PrefetchLoader -> buckets -> decode -> MLF, true audio seconds).
-    # Printed FIRST so the hero line stays last for the driver's parser.
-    # Through the dev tunnel this is host->device-bandwidth-bound
-    # (~30 MB/s link); see benchmarks/mixed_length.py.  Run under a
-    # watchdog: the tunnel intermittently stalls for minutes, and the
-    # companion must never sink the hero metric.
-    import threading
-
-    mixed_result: list = []
-
-    def _mixed():
-        try:
-            from benchmarks.mixed_length import run as mixed_run
-            mixed_result.append(mixed_run(1024, iters=3))
-        except Exception as e:
-            mixed_result.append({"metric": "mixed_corpus_error",
-                                 "error": str(e)})
-
-    th = threading.Thread(target=_mixed, daemon=True)
-    th.start()
-    th.join(420)
-    print(json.dumps(mixed_result[0] if mixed_result else
-                     {"metric": "mixed_corpus_error", "error": "timeout"}))
+    # companion metric measured up front (subprocess, see _run_companion);
+    # printed here so the hero line stays LAST for the driver's parser
+    print(json.dumps(mixed))
 
     print(json.dumps({
         "metric": "audio_sec_per_s_per_chip_e2e_wav_to_rec",

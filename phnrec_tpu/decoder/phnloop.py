@@ -138,6 +138,77 @@ def viterbi_block(spec: PhnLoopSpec, carry, log_post: jnp.ndarray,
     return carry, History(*recs)
 
 
+@partial(jax.jit, static_argnums=(0, 5))
+def viterbi_block_ragged(spec: PhnLoopSpec, carry, log_post: jnp.ndarray,
+                         t0: jnp.ndarray, n_valid: jnp.ndarray,
+                         unroll: int = 8):
+    """Per-row masked block scan for MULTI-STREAM serving: each batch row
+    is an independent stream at its own global frame offset, and only the
+    first ``n_valid[b]`` rows of ``log_post[b]`` are real frames this
+    block — rows past that pass the carry through untouched, so streams
+    can advance unevenly (a stalled stream just idles).
+
+    log_post: [B, T, >=P*S];  t0: [B] global index of each row's first
+    frame this block;  n_valid: [B] frames consumed per row (<= T).
+    Returns (carry', History [T, B]) — history rows >= n_valid[b] in
+    column b are garbage; the caller tracks validity.
+
+    Semantics per row match viterbi_block (PhnDec, phndec.cpp:96-158);
+    masking only gates the carry update, mirroring how the reference's
+    per-stream decoder objects simply do not get called for idle streams
+    (srec.cpp:793-849 drives one decoder per source).
+    """
+    P, S = spec.n_phonemes, spec.n_states
+    B, T = log_post.shape[0], log_post.shape[1]
+    w_pen = jnp.float32(spec.w_penalty)
+    tr_curr = jnp.float32(spec.log_tr_curr)
+    tr_next = jnp.float32(spec.log_tr_next)
+
+    obs = jnp.transpose(log_post[:, :, : P * S].reshape(B, T, P, S),
+                        (1, 2, 3, 0))
+    i_blk = jnp.arange(T, dtype=jnp.int32)
+    # [T, B] per-row global frame index + liveness
+    tt = t0[None, :].astype(jnp.int32) + i_blk[:, None]
+    live = i_blk[:, None] < n_valid[None, :].astype(jnp.int32)
+    p_iota = jnp.arange(P, dtype=jnp.int32)[:, None]
+
+    def step(carry, xs):
+        alphas, ent = carry
+        obs_t, t, lv = xs                       # t, lv: [B]
+
+        tok_cur = alphas[:, 1:, :] + tr_curr
+        tok_prev = alphas[:, :-1, :] + tr_next
+        take_cur = tok_cur > tok_prev
+        new_a = jnp.where(take_cur, tok_cur, tok_prev) + obs_t
+        new_ent = jnp.where(take_cur, ent[:, 1:, :], ent[:, :-1, :])
+
+        exit_a = new_a[:, -1, :]
+        maxi = jnp.argmax(exit_a, axis=0)
+        max_a = jnp.max(exit_a, axis=0)
+        is_max = p_iota == maxi[None, :]
+        ent_win = jnp.sum(jnp.where(is_max, new_ent[:, -1, :], 0), axis=0)
+        rec = (maxi.astype(jnp.int8), ent_win, max_a)
+
+        entry_a = jnp.broadcast_to((max_a + w_pen)[None, None, :],
+                                   (P, 1, B))
+        entry_e = jnp.broadcast_to((t + 1)[None, None, :], (P, 1, B))
+        na = jnp.concatenate([entry_a, new_a], axis=1)
+        ne = jnp.concatenate([entry_e, new_ent], axis=1)
+        # dead rows keep their carry (B is the minor lane axis, so this
+        # broadcast-where is lane-wise and free)
+        alphas = jnp.where(lv[None, None, :], na, alphas)
+        ent = jnp.where(lv[None, None, :], ne, ent)
+        return (alphas, ent), rec
+
+    # the step is a handful of [P, S, B] VPU ops — latency-, not
+    # width-bound — so loop-iteration overhead dominates long streams;
+    # unrolling amortizes it (multi-stream serving runs ~100 frames of
+    # scan per audio-second regardless of stream count)
+    carry, recs = jax.lax.scan(step, carry, (obs, tt, live),
+                               unroll=unroll)
+    return carry, History(*recs)
+
+
 def viterbi_scan_batch(spec: PhnLoopSpec, log_post: jnp.ndarray) -> History:
     """Whole-utterance batch decode: [B, T, >=P*S] -> History [T, B]."""
     _, hist = viterbi_block(spec, init_carry(spec, log_post.shape[0]),

@@ -152,31 +152,101 @@ def compile_network(net: StkNetwork, models: ModelSet, wpenalty: float,
             sink_nodes.append(n)
     sink_of = {id(n): i for i, n in enumerate(sink_nodes)}
 
-    # ---- closure over instantaneous (non-model) nodes
+    # ---- closure over instantaneous nodes (nulls, word nodes, and TEE
+    # models — models with a direct entry->exit transition, Net.h:33-43,
+    # passed through within a frame by Viterbi.cc:1340-1500).
+    #
+    # Only the BEST-scoring instantaneous path between a (source, target)
+    # pair can ever win the runtime max, and closure scores are static,
+    # so the walk is single-source max-plus relaxation with per-node
+    # memoization and parent backpointers — O(V*E) worst case instead of
+    # path enumeration (exponential on diamond null lattices, recursion-
+    # depth-bound on deep chains).  Zero/negative-score cycles through
+    # null nodes converge (relaxation is strict-improvement only, so ties
+    # keep the FIRST-reached path, STK's document-order first-wins);
+    # positive cycles would let a token gain score within one frame and
+    # raise, as STK would loop.
     closure: List[ClosureEdge] = []
 
-    def walk(src_model: int, node: NetNode, lm: float, score: float,
-             words: Tuple[str, ...], visited: frozenset) -> None:
-        """Arrived AT `node` (non-model) with arc lm-like `lm` pending."""
-        if id(node) in visited:
-            raise ValueError("cycle through null nodes in network")
-        score = score + lm * lm_scale
-        if node.word is not None:
-            score += wpenalty           # + pron_scale * pronprob (0 here)
-            words = words + (node.word,)
-        if id(node) in sink_of:
-            closure.append(ClosureEdge(src_model, -1, sink_of[id(node)],
-                                       score, words, bool(words)))
-            # sticky sinks keep propagating within the frame: StkInterface
-            # kills their tokens only AFTER the frame (stkinterface.cpp:279)
-        visited = visited | {id(node)}
-        for tgt, arc_lm in node.links:
-            if tgt.is_model:
+    tee_weight: Dict[int, float] = {}
+    for mi, node in enumerate(model_nodes):
+        lt = models.hmms[node.model].log_transp
+        if lt[0, lt.shape[0] - 1] > LOG_0 / 2:
+            tee_weight[mi] = float(lt[0, lt.shape[0] - 1])
+
+    node_doc_order = {id(n): i for i, n in enumerate(net.nodes)}
+
+    def emit_closures(src_model: int, seeds) -> None:
+        """seeds: [(target_node, arrival_score)] — arcs leaving the
+        source with lm like already applied.  Relax to fixpoint, then
+        emit one ClosureEdge per reached model entry / sink."""
+        from collections import deque
+
+        best: Dict[int, Tuple[float, Optional[int], Optional[str],
+                              NetNode]] = {}
+        # best[id] = (score, parent_id, word_emitted_at_node, node)
+        relax = {}
+        work = deque()
+        limit = len(net.nodes) + 1
+
+        def arrive(node: NetNode, score: float, parent: Optional[int]
+                   ) -> None:
+            word = None
+            if not node.is_model and node.word is not None:
+                score += wpenalty   # + pron_scale * pronprob (0 here)
+                word = node.word
+            cur = best.get(id(node))
+            if cur is not None and score <= cur[0]:
+                return              # strict improvement only: ties keep
+            relax[id(node)] = relax.get(id(node), 0) + 1
+            if relax[id(node)] > limit:
+                raise ValueError(
+                    "positive-score cycle through instantaneous nodes")
+            best[id(node)] = (score, parent, word, node)
+            work.append(node)
+
+        for tgt, s in seeds:
+            arrive(tgt, s, None)
+        while work:
+            node = work.popleft()
+            score = best[id(node)][0]
+            if node.is_model:
+                # continue only THROUGH tee models (entry->exit within
+                # the frame, + the model penalty applied on exit)
+                tw = tee_weight.get(model_index[id(node)])
+                if tw is None:
+                    continue
+                score = score + tw + mpenalty
+            for tgt, arc_lm in node.links:
+                arrive(tgt, score + arc_lm * lm_scale, id(node))
+
+        def words_of(nid: int) -> Tuple[str, ...]:
+            out: List[str] = []
+            while nid is not None:
+                score, parent, word, _ = best[nid]
+                if word is not None:
+                    out.append(word)
+                nid = parent
+            out.reverse()
+            return tuple(out)
+
+        # emit in document order of the target (the runtime dense-row
+        # argmax resolves ties to the lowest edge id, matching STK's
+        # document-order first-wins processing)
+        for nid, (score, parent, word, node) in sorted(
+                best.items(), key=lambda kv: node_doc_order[kv[0]]):
+            words = words_of(nid)
+            if node.is_model:
                 closure.append(ClosureEdge(
-                    src_model, model_index[id(tgt)], None,
-                    score + arc_lm * lm_scale, words, bool(words)))
-            else:
-                walk(src_model, tgt, arc_lm, score, words, visited)
+                    src_model, model_index[id(node)], None, score,
+                    words, bool(words)))
+            elif nid in sink_of:
+                # sticky sinks keep propagating within the frame:
+                # StkInterface kills their tokens only AFTER the frame
+                # (stkinterface.cpp:279); propagation continued above
+                closure.append(ClosureEdge(
+                    src_model, -1, sink_of[nid], score, words,
+                    bool(words)))
 
     # from network START
     start = net.first
@@ -184,16 +254,11 @@ def compile_network(net: StkNetwork, models: ModelSet, wpenalty: float,
         closure.append(ClosureEdge(-1, model_index[id(start)], None, 0.0,
                                    (), False))
     else:
-        walk(-1, start, 0.0, 0.0, (), frozenset())
+        emit_closures(-1, [(start, 0.0)])
     # from each model's exit (model exit adds mMPenalty, Viterbi.cc:1406)
     for mi, node in enumerate(model_nodes):
-        for tgt, arc_lm in node.links:
-            if tgt.is_model:
-                closure.append(ClosureEdge(
-                    mi, model_index[id(tgt)], None,
-                    mpenalty + arc_lm * lm_scale, (), False))
-            else:
-                walk(mi, tgt, arc_lm, mpenalty, (), frozenset())
+        emit_closures(mi, [(tgt, mpenalty + arc_lm * lm_scale)
+                           for tgt, arc_lm in node.links])
 
     kws_word_sinks = [i for i, n in enumerate(sink_nodes)
                       if n.is_sticky and n.word is not None]
@@ -257,9 +322,6 @@ class NetworkDecoder:
         # clipped source index views for the traceback gathers
         self.in_src_m_dev = self.in_src.clip(0, max(c.n_models - 1, 0))
         self.in_src_s_dev = self.in_src.clip(0, max(c.n_states - 1, 0))
-        # assigned by StkNetworkDecoder when the model set carries a
-        # global <InputXform>
-        self.model_set_input_xform = None
 
         # Dense incoming-edge tables: for each destination, the edge ids
         # feeding it, ascending (row-padded with -1).  The per-frame
@@ -443,12 +505,30 @@ class NetworkDecoder:
 
     def decode(self, obs, beam=None) -> List[Label]:
         """Full decode: obs [T, D] log posteriors -> word labels (the
-        TimePruning + ViterbiDone output, via full traceback)."""
-        recs = self._run_scan(obs, beam)
-        return self.traceback_host(recs)
+        TimePruning + ViterbiDone output).  Routed through the BATCHED
+        scan + device traceback at B=1 — one scan dispatch plus one
+        traceback dispatch instead of a per-frame Python walk (the host
+        walk remains only for stitched streaming records)."""
+        obs = np.asarray(obs)
+        T = obs.shape[0]
+        bucket = max(256, 1 << (T - 1).bit_length())
+        if bucket > T:
+            obs = np.concatenate(
+                [obs, np.zeros((bucket - T, obs.shape[1]), obs.dtype)])
+        return self.decode_batch(obs[None], np.asarray([T], np.int32),
+                                 beam=beam)[0]
 
-    def traceback_host(self, recs) -> List[Label]:
-        """Host traceback over (possibly stitched streaming) records."""
+    def traceback_host(self, recs, frame_offset: int = 0,
+                       boundary: bool = False,
+                       like_offset: float = 0.0) -> List[Label]:
+        """Host traceback over (possibly stitched streaming) records.
+
+        ``frame_offset`` shifts emitted label times (records are a
+        retained window starting at that absolute frame); ``boundary``
+        marks that row 0 is NOT the utterance start but a commit point —
+        a walk reaching it stops there (its words were already emitted
+        with the committed prefix), the fixed-lag forced-commit semantics
+        of the reference's TimePruning ring (Viterbi.cc:65-125)."""
         T = recs["in_am"].shape[0]
         c = self.c
         # final like: terminal sink at last frame
@@ -479,11 +559,16 @@ class NetworkDecoder:
                     # entry value at frame t was produced by closure at
                     # frame t-1 (or the init closure at t == 0)
                     if t == 0:
-                        ek = int(recs["entry_edge"][0, m])
-                        e = self.cm[ek]
-                        note_words(e.words, 0,
-                                   float(recs["entry_val"][0, m]))
-                        model = e.src
+                        if not boundary:
+                            ek = int(recs["entry_edge"][0, m])
+                            e = self.cm[ek]
+                            note_words(e.words, 0,
+                                       float(recs["entry_val"][0, m]))
+                            model = e.src
+                        else:
+                            # commit point: the crossing words here were
+                            # already part of the committed prefix
+                            model = -1
                         t = -1
                         break
                     ek = int(recs["cm_am"][t - 1, m])
@@ -501,9 +586,13 @@ class NetworkDecoder:
                 break
         words.reverse()
         labels: List[Label] = []
-        prev_t, prev_like = 0, 0.0
+        # record values are cumulative path likes (the scan carry runs
+        # across the whole stream); a retained window starts at the
+        # committed path's cumulative like, not zero
+        prev_t, prev_like = 0, like_offset
         for w, end_t, like in words:
-            labels.append(Label(prev_t, end_t, w, like - prev_like))
+            labels.append(Label(prev_t + frame_offset,
+                                end_t + frame_offset, w, like - prev_like))
             prev_t, prev_like = end_t, like
         return labels
 
@@ -588,10 +677,6 @@ class NetworkDecoder:
             return [[] for _ in range(np.asarray(log_post).shape[0])]
         beam = jnp.float32(OFF_BEAM if beam is None else beam)
         obs = jnp.asarray(log_post)
-        if self.model_set_input_xform is not None:
-            from phnrec_tpu.io.xform import apply_instance
-            obs = jax.vmap(
-                lambda o: apply_instance(self.model_set_input_xform, o))(obs)
         obs_state = jax.vmap(self.state_observations)(obs)
         nv = jnp.asarray(n_frames, jnp.int32)
         recs = self._scan_batch(obs_state, nv, beam)
@@ -782,7 +867,6 @@ class StkNetworkDecoder:
         self.compiled = compile_network(self.network, self.model_set,
                                         wpenalty, self.lm_scale)
         self.decoder = NetworkDecoder(self.compiled)
-        self.decoder.model_set_input_xform = self.model_set.input_xform
 
     def set_wpenalty(self, wpenalty: float) -> None:
         self._build(wpenalty)
@@ -828,10 +912,14 @@ class StkNetworkDecoder:
 
     def decode_batch(self, log_post, n_frames) -> List[List[Label]]:
         """Batched decode-mode: [B, T, D] + [B] -> per-row labels in one
-        scan dispatch + one traceback dispatch."""
+        scan dispatch + one traceback dispatch.  The global <InputXform>
+        is applied HERE (only), so NetworkDecoder.decode and .decode_batch
+        see identical (already-transformed) observations."""
         if self.mode == "kws":
             return [self.decode(np.asarray(log_post)[b, : int(n)])
                     for b, n in enumerate(np.asarray(n_frames))]
+        if self.model_set.input_xform is not None:
+            log_post = jax.vmap(self._xform)(jnp.asarray(log_post))
         return self.decoder.decode_batch(log_post, n_frames,
                                          beam=self.beam_pruning)
 

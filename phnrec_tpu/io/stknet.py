@@ -167,6 +167,16 @@ def write_stk_network(net: StkNetwork, path_or_file) -> None:
     lattice optimization)."""
     own = isinstance(path_or_file, str)
     f = open(path_or_file, "w") if own else path_or_file
+
+    def checked(name: str) -> str:
+        # the whitespace-tokenizing dialect cannot represent these; emit
+        # a loud error rather than a file parse_stk_network mis-reads
+        if any(c.isspace() for c in name) or "=" in name:
+            raise ValueError(
+                f"node name {name!r} contains whitespace or '=' and "
+                "cannot be written in the STK network dialect")
+        return name
+
     try:
         index = {id(n): i for i, n in enumerate(net.nodes)}
         n_links = sum(len(n.links) for n in net.nodes)
@@ -174,9 +184,10 @@ def write_stk_network(net: StkNetwork, path_or_file) -> None:
         for i, n in enumerate(net.nodes):
             parts = [f"I={i}"]
             if n.is_model:
-                parts.append(f"M={n.model}")
+                parts.append(f"M={checked(n.model)}")
             else:
-                parts.append(f"W={n.word if n.word is not None else '!NULL'}")
+                parts.append("W=" + (checked(n.word) if n.word is not None
+                                     else "!NULL"))
                 if n.word is not None and n.pron_var != 1:
                     parts.append(f"v={n.pron_var}")
             if n.ntype & (NT_TRUE | NT_STICKY):

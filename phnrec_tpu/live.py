@@ -139,7 +139,29 @@ def run_live(sr: SpeechRec, out_format: str = "str",
     thr = None
     if sr.stk_decoder is not None and sr.stk_decoder.mode == "kws":
         thr = sr.stk_decoder.keyword_thresholds
-    emitted = 0
+    # Emission tracking by label identity, not count: the full-traceback
+    # settled list can retroactively rewrite an early label when the
+    # global best path shifts (the reference cannot — it force-commits at
+    # the fixed lag), so count-slicing could emit a misaligned stream.
+    # A label is emitted once, only if it advances the emission frontier;
+    # an already-printed region is never re-emitted or retracted.
+    emitted_keys: set = set()
+    frontier = 0
+
+    def emit_new(labels) -> None:
+        nonlocal frontier
+        for lab in labels:
+            key = (lab.start_frames, lab.end_frames, lab.name)
+            if key in emitted_keys or lab.end_frames <= frontier:
+                continue
+            emitted_keys.add(key)
+            frontier = lab.end_frames
+            # the threshold filter applies to EVERY live emission,
+            # including the Done-time flush (phnrec.cpp:81-83)
+            if thr is not None and lab.score < thr.get(lab.name):
+                continue
+            emit(format_live(lab, out_format))
+
     n = 0
     try:
         while True:
@@ -147,12 +169,7 @@ def run_live(sr: SpeechRec, out_format: str = "str",
             if not data:
                 break
             rec.process(data)
-            settled = rec.results(settled_only=True)
-            for lab in settled[emitted:]:
-                if thr is not None and lab.score < thr.get(lab.name):
-                    continue
-                emit(format_live(lab, out_format))
-            emitted = len(settled)
+            emit_new(rec.results(settled_only=True))
             n += 1
             if max_chunks is not None and n >= max_chunks:
                 break
@@ -162,10 +179,5 @@ def run_live(sr: SpeechRec, out_format: str = "str",
         if stream is not sys.stdin.buffer:
             stream.close()
     final = rec.finish()
-    for lab in final[emitted:]:
-        # the threshold filter applies to EVERY live emission, including
-        # the Done-time flush (phnrec.cpp:81-83)
-        if thr is not None and lab.score < thr.get(lab.name):
-            continue
-        emit(format_live(lab, out_format))
+    emit_new(final)
     return final

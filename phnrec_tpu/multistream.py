@@ -1,0 +1,418 @@
+"""Multi-stream streaming recognition: N concurrent audio streams decoded
+through ONE fused block dispatch per step.
+
+The reference serves one stream per process (SpeechRec owns a single
+decoder/frontend chain, srec.cpp:793-849); serving N streams means N
+processes, each re-running the same per-frame loop.  On TPU a single
+stream uses ~1% of the chip (the Viterbi state is [P, S+1, 1] and the MLP
+GEMMs have batch 1 per frame block), so the TPU-native design batches
+independent streams into the lane axis:
+
+  * carried mel tails   [N, 2*shift, nbanks]   (Traps be_mat per stream)
+  * Viterbi carry       [P, S+1, N]            (batch minor = lane axis)
+  * per-row frame offsets / validity           (streams advance unevenly)
+
+Every step is one jitted program: span [N, samples] -> mel -> STC windows
+-> 3 MLPs -> masked Viterbi block (phnloop.viterbi_block_ragged).  A
+stream with no pending audio simply idles through the dispatch (its carry
+rows pass through), so ragged arrival patterns need no re-batching.
+
+Per-stream semantics are EXACTLY StreamingRecognizer's (srec.cpp:793-927):
+replicate-first-frame window init, the 15-frame delay gate, repeat-last-
+frame tail flush, and full-history backtrack — asserted stream-for-stream
+against the single-stream path in tests/test_multistream.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phnrec_tpu import normalization
+from phnrec_tpu.decoder import phnloop
+from phnrec_tpu.io.labels import Label
+from phnrec_tpu.pipeline import SpeechRec
+from phnrec_tpu.streaming import _convert_chunk, _make_posterior_block_fn
+
+
+class MultiStreamRecognizer:
+    """Decode ``n_streams`` independent audio streams in lockstep-batched
+    fused blocks.  Feed bytes with process(i, raw); pump() dispatches
+    fused blocks when streams have audio; finish() flushes tails and
+    returns per-stream label lists."""
+
+    def __init__(self, sr: SpeechRec, n_streams: int,
+                 block_frames: int = 128, auto_pump: bool = True):
+        if sr.estimator is None:
+            raise ValueError("streaming requires an enabled estimator")
+        if sr.stk_decoder is not None:
+            raise ValueError("multi-stream serving supports the phnloop "
+                             "decoder (stkint streams: one recognizer per "
+                             "stream)")
+        self.online_norm = normalization.OnlineNorm.from_config(
+            sr.cfg, sr.frontend.spec.nbanks)
+        if self.online_norm.enabled:
+            raise ValueError("online normalization is a per-channel host "
+                             "state machine; use StreamingRecognizer")
+        self.sr = sr
+        self.n = n_streams
+        self.block = block_frames
+        spec = sr.frontend.spec
+        self.vs, self.step_len = spec.vector_size, spec.step
+        self.nbanks = spec.nbanks
+        self.trap_shift = s = sr.estimator.trap_shift
+        self.auto_pump = auto_pump
+
+        self._i16 = (sr.wave_format == "lin16" and sr.wave_noise == 0.0)
+        dtype = np.int16 if self._i16 else np.float32
+        self._bufs = [np.zeros(0, dtype) for _ in range(n_streams)]
+        self._byte_rem = [b"" for _ in range(n_streams)]
+        self._ended = np.zeros(n_streams, bool)
+        self._n_mel = np.zeros(n_streams, np.int64)
+        self._n_dec = np.zeros(n_streams, np.int64)
+        self._primed_host = np.zeros(n_streams, bool)
+        self._flushed = False
+
+        self._mel_tail = jnp.zeros((n_streams, 2 * s, self.nbanks),
+                                   jnp.float32)
+        self._primed = jnp.zeros((n_streams,), bool)
+        self._carry = phnloop.init_carry(sr.loop_spec, n_streams)
+        # history: (device History [T, N], valid [N] np) per dispatch
+        self._hist: List = []
+        self._res_cache: dict = {}
+
+        fe = sr.frontend
+        dc = np.float32(sr.wave_dc_shift)
+        scale = np.float32(sr.wave_scale)
+        i16 = self._i16
+        post_fn = _make_posterior_block_fn(sr)
+        loop_spec = sr.loop_spec
+        ts2 = 2 * s
+        frame_shift, frame_floor = sr.frame_shift, sr.frame_floor
+
+        def _front(span):                      # [N, samples] -> [N, F, nb]
+            w = span.astype(jnp.float32)
+            if i16 and float(dc) != 0.0:
+                w = w + dc
+            if i16 and float(scale) != 1.0:
+                w = w * scale
+            F = (span.shape[1] - self.vs) // self.step_len + 1
+            frames = jax.vmap(lambda row: fe.frames_from_wave(row, F))(w)
+            par = fe.log_mel_from_frames(frames)
+            return normalization.frame_norm(par, frame_shift, frame_floor)
+
+        def _decode_ctx(ctx, skip, carry, n_dec, n_valid, cap):
+            """Shared tail of both fused programs: posterior rows from the
+            per-stream context, rolled so each row's valid frames lead,
+            then the masked Viterbi block."""
+            lp = jax.vmap(post_fn)(ctx)                 # [N, cap, n_out]
+            idx = jnp.clip(skip[:, None] + jnp.arange(cap)[None, :],
+                           0, cap - 1)
+            lp = jnp.take_along_axis(lp, idx[:, :, None], axis=1)
+            return phnloop.viterbi_block_ragged(
+                loop_spec, carry, lp, n_dec.astype(jnp.int32),
+                n_valid.astype(jnp.int32))
+
+        def _fused_impl(span, v, mel_tail, primed, carry, n_mel, n_dec):
+            """One multi-stream block: span [N, samples] with v[b] valid
+            new frames in row b."""
+            par = _front(span)                          # [N, block, nb]
+            tail_eff = jnp.where(
+                primed[:, None, None], mel_tail,
+                jnp.repeat(par[:, :1], ts2, axis=1))
+            ctx = jnp.concatenate([tail_eff, par], axis=1)
+            tidx = v[:, None].astype(jnp.int32) + jnp.arange(ts2)[None, :]
+            new_tail = jnp.take_along_axis(ctx, tidx[:, :, None], axis=1)
+            skip = jnp.clip(jnp.int32(s) - n_mel.astype(jnp.int32), 0,
+                            v.astype(jnp.int32))
+            carry, hist = _decode_ctx(ctx, skip, carry, n_dec, v - skip,
+                                      self.block)
+            return new_tail, primed | (v > 0), carry, hist
+
+        _fused = jax.jit(_fused_impl)
+
+        need = (self.block - 1) * self.step_len + self.vs
+
+        @jax.jit
+        def _fused_from_buffer(audio, offset, v, mel_tail, primed, carry,
+                               n_mel, n_dec):
+            """Same block program, but the sample span is sliced out of a
+            device-resident [N, L] audio buffer at a TRACED offset — one
+            compiled program serves every block position (per-offset
+            eager slicing would re-lower per block through a remote
+            backend)."""
+            span = jax.lax.dynamic_slice(
+                audio, (0, offset), (audio.shape[0], need))
+            return _fused_impl(span, v, mel_tail, primed, carry, n_mel,
+                               n_dec)
+
+        spb = self.block * self.step_len
+
+        @jax.jit
+        def _scan_buffer(audio, k_arr, mel_tail, primed, carry,
+                         n_mel, n_dec):
+            """Decode ``n_blocks`` consecutive blocks from a device
+            buffer in ONE dispatch: a lax.scan over block offsets with
+            ALL bookkeeping (frame counts, priming, skip) carried on
+            device — the per-block host-arg transfers of the dispatch-
+            per-block path each cost a tunnel round trip, which at
+            ~70 ms dwarfs the compute.
+
+            ``k_arr`` holds the block indices to decode (its length is
+            the static block count; jit recompiles per distinct count).
+            Returns (state', hist_compact [K*block, N]): the scanned
+            histories with each row's valid frames contiguous from the
+            start (only the FIRST-ever block skips the delay gate, so
+            one static gather removes the gap)."""
+            N = audio.shape[0]
+            vb = jnp.full((N,), self.block, jnp.int32)
+
+            def body(st, k):
+                mel_tail, primed, carry, n_mel, n_dec = st
+                span = jax.lax.dynamic_slice(
+                    audio, (0, k * spb), (N, need))
+                skip = jnp.clip(jnp.int32(s) - n_mel, 0, vb)
+                new_tail, primed, carry, hist = _fused_impl(
+                    span, vb, mel_tail, primed, carry, n_mel, n_dec)
+                return (new_tail, primed, carry, n_mel + vb,
+                        n_dec + vb - skip), hist
+
+            st0 = (mel_tail, primed, carry, n_mel.astype(jnp.int32),
+                   n_dec.astype(jnp.int32))
+            K = k_arr.shape[0]
+            st, hists = jax.lax.scan(body, st0, k_arr)
+            # compact: rows were rolled valid-first per block, and only
+            # the first block of a fresh stream skips (delay gate), so
+            # the garbage gap sits at the end of block 0's section.
+            skip0 = jnp.clip(jnp.int32(s) - n_mel.astype(jnp.int32),
+                             0, self.block)           # [N]
+            TT = K * self.block
+            j = jnp.arange(TT, dtype=jnp.int32)[:, None]
+            idx = jnp.clip(
+                j + jnp.where(j >= self.block - skip0[None, :],
+                              skip0[None, :], 0), 0, TT - 1)
+            hist = phnloop.History(*(
+                jnp.take_along_axis(a.reshape(TT, N), idx, axis=0)
+                for a in hists))
+            return st, hist
+
+        self._scan_buffer = _scan_buffer
+
+        @jax.jit
+        def _fused_flush(mel_tail, carry, n_mel, n_dec):
+            """ProcessTail per stream (srec.cpp:877-927): repeat each
+            row's last mel frame trap_shift times; rows with n_mel < s
+            valid frames flush only n_mel rows."""
+            reps = jnp.repeat(mel_tail[:, -1:], s, axis=1)
+            ctx = jnp.concatenate([mel_tail, reps], axis=1)  # [N, 3s, nb]
+            skip = jnp.clip(jnp.int32(s) - n_mel.astype(jnp.int32), 0, s)
+            return _decode_ctx(ctx, skip, carry, n_dec, s - skip, s)
+
+        self._fused = _fused
+        self._fused_from_buffer = _fused_from_buffer
+        self._fused_flush = _fused_flush
+
+    # -- feeding ---------------------------------------------------------
+    def process(self, i: int, raw: bytes) -> None:
+        """Push raw audio bytes for stream ``i``."""
+        if self._ended[i]:
+            raise ValueError(f"stream {i} already ended")
+        sr = self.sr
+        if sr.wave_format == "lin16":
+            raw = self._byte_rem[i] + raw
+            cut = len(raw) - (len(raw) % 2)
+            raw, self._byte_rem[i] = raw[:cut], raw[cut:]
+            wave = (np.frombuffer(raw, dtype="<i2") if self._i16
+                    else _convert_chunk(raw, sr))
+        else:
+            wave = _convert_chunk(raw, sr)
+        self._bufs[i] = np.concatenate([self._bufs[i], wave])
+        if self.auto_pump:
+            self.pump()
+
+    def end_stream(self, i: int) -> None:
+        """Mark stream ``i`` finished (no more audio will arrive); its
+        leftovers drain on subsequent pumps/finish."""
+        self._ended[i] = True
+
+    def _pending(self) -> np.ndarray:
+        lens = np.asarray([b.shape[0] for b in self._bufs])
+        return np.where(lens >= self.vs,
+                        (lens - self.vs) // self.step_len + 1, 0)
+
+    # -- fused dispatch --------------------------------------------------
+    def _dispatch(self, v: np.ndarray) -> None:
+        """One fused block consuming v[b] frames from stream b."""
+        need = (self.block - 1) * self.step_len + self.vs
+        span = np.zeros((self.n, need), self._bufs[0].dtype)
+        for b in range(self.n):
+            if v[b] > 0:
+                take = (int(v[b]) - 1) * self.step_len + self.vs
+                span[b, :take] = self._bufs[b][:take]
+                self._bufs[b] = self._bufs[b][int(v[b]) * self.step_len:]
+        self._record(v, self._fused(
+            jnp.asarray(span), jnp.asarray(v, np.int32), self._mel_tail,
+            self._primed, self._carry,
+            jnp.asarray(self._n_mel, np.int32),
+            jnp.asarray(self._n_dec, np.int32)))
+
+    def pump(self) -> int:
+        """Dispatch fused blocks while every live stream can fill one
+        (ended streams contribute what they have).  Returns the number of
+        blocks dispatched."""
+        n_blocks = 0
+        while True:
+            pending = self._pending()
+            ready = np.where(self._ended, pending > 0,
+                             pending >= self.block)
+            if not (np.all(ready | self._ended) and pending.max(initial=0)
+                    >= (self.block if not self._ended.all() else 1)):
+                return n_blocks
+            self._dispatch(np.minimum(pending, self.block))
+            n_blocks += 1
+
+    def _record(self, v: np.ndarray, out) -> None:
+        """Book-keep one fused dispatch's outputs."""
+        new_tail, primed, carry, hist = out
+        skip = np.clip(self.trap_shift - self._n_mel, 0, v)
+        self._mel_tail, self._primed, self._carry = new_tail, primed, carry
+        valid = (v - skip).astype(np.int64)
+        self._hist.append((hist, valid))
+        self._n_mel += v
+        self._n_dec += valid
+        self._primed_host |= v > 0
+
+    # -- device-resident feeding (benchmark / production DMA path) -------
+    def dispatch_block_device(self, span_dev) -> None:
+        """Advance EVERY stream by exactly ``block`` frames from a
+        device-resident sample span [N, (block-1)*step + vs] — the
+        zero-host-copy path for inputs that already live in HBM (e.g.
+        network DMA in production; pre-staged audio in benchmarks)."""
+        v = np.full(self.n, self.block, np.int64)
+        self._record(v, self._fused(
+            span_dev, jnp.asarray(v, np.int32), self._mel_tail,
+            self._primed, self._carry,
+            jnp.asarray(self._n_mel, np.int32),
+            jnp.asarray(self._n_dec, np.int32)))
+
+    def decode_device_buffer(self, audio_dev, n_blocks: int,
+                             first_block: int = 0) -> None:
+        """Advance every stream by ``n_blocks`` * block frames from a
+        device-resident [N, L] sample buffer in ONE jitted dispatch
+        (scan over block offsets, all bookkeeping on device) — the
+        steady-state serving loop with zero per-block host traffic."""
+        if self.block < self.trap_shift and not self._primed_host.all():
+            raise ValueError("decode_device_buffer needs block_frames >= "
+                             "trap_shift for unprimed streams (the delay-"
+                             "gate skip must fit in the first block)")
+        k_arr = jnp.arange(first_block, first_block + n_blocks,
+                           dtype=jnp.int32)
+        st, hist = self._scan_buffer(
+            audio_dev, k_arr, self._mel_tail, self._primed, self._carry,
+            jnp.asarray(self._n_mel, np.int32),
+            jnp.asarray(self._n_dec, np.int32))
+        self._mel_tail, self._primed, self._carry = st[0], st[1], st[2]
+        skip0 = np.clip(self.trap_shift - self._n_mel, 0, self.block)
+        valid = (np.int64(n_blocks) * self.block - skip0).astype(np.int64)
+        self._hist.append((hist, valid))
+        self._n_mel += n_blocks * self.block
+        self._n_dec += valid
+        self._primed_host[:] = True
+
+    def dispatch_from_device_buffer(self, audio_dev, sample_offset: int
+                                    ) -> None:
+        """Advance every stream by ``block`` frames reading samples
+        [sample_offset, sample_offset + span) from a device-resident
+        [N, L] buffer.  The offset is traced, so one compiled program
+        serves the whole buffer."""
+        v = np.full(self.n, self.block, np.int64)
+        self._record(v, self._fused_from_buffer(
+            audio_dev, jnp.int32(sample_offset), jnp.asarray(v, np.int32),
+            self._mel_tail, self._primed, self._carry,
+            jnp.asarray(self._n_mel, np.int32),
+            jnp.asarray(self._n_dec, np.int32)))
+
+    # -- results ---------------------------------------------------------
+    def finish(self) -> List[List[Label]]:
+        """Drain leftovers, flush the STC tail, backtrack every stream."""
+        if not self._flushed:
+            self._ended[:] = True
+            while self.pump():
+                pass
+            pending = self._pending()
+            if pending.max(initial=0) > 0:
+                self._dispatch(np.minimum(pending, self.block))
+            if self._primed_host.any():
+                carry, hist = self._fused_flush(
+                    self._mel_tail, self._carry,
+                    jnp.asarray(self._n_mel, np.int32),
+                    jnp.asarray(self._n_dec, np.int32))
+                self._carry = carry
+                valid = np.where(self._primed_host,
+                                 np.minimum(self.trap_shift, self._n_mel),
+                                 0).astype(np.int64)
+                self._hist.append((hist, valid))
+                self._n_dec += valid
+            self._flushed = True
+        return self.results()
+
+    def results(self) -> List[List[Label]]:
+        """Backtrack every stream's accumulated history."""
+        if not self._hist:
+            return [[] for _ in range(self.n)]
+        valids = np.stack([v for _, v in self._hist])      # [K, N]
+        uniform = bool((valids == valids[:, :1]).all())
+        if uniform:
+            # lockstep fast path: every row has the same per-block
+            # validity, so compaction is device-side slicing and the
+            # backtrack runs on device (tiny D2H: ~7 bytes/segment).
+            # The whole assemble+backtrack is ONE jitted program, cached
+            # per validity pattern — eager slicing/packing would pay a
+            # synchronous lowering round trip per op on remote backends.
+            key = tuple(int(v[0]) for _, v in self._hist)
+            T = sum(key)
+            if T == 0:
+                return [[] for _ in range(self.n)]
+            if T < 1 << 20:
+                prog = self._res_cache.get(key)
+                if prog is None:
+                    spec = self.sr.loop_spec
+
+                    @jax.jit
+                    def prog(blocks, n_dec):
+                        hist = phnloop.History(*(
+                            jnp.concatenate(
+                                [b[j][: key[k]]
+                                 for k, b in enumerate(blocks)], axis=0)
+                            for j in range(3)))
+                        return phnloop.backtrack_device(spec, hist, n_dec)
+
+                    self._res_cache[key] = prog
+                segs = prog(tuple(h for h, _ in self._hist),
+                            jnp.asarray(self._n_dec, jnp.int32))
+                segs = phnloop.fetch_segments(
+                    segs, cap=min(4096, segs.phn.shape[1]))
+                return phnloop.labels_from_segments(
+                    segs, self._n_dec, self.sr.phonemes)
+            fetched = jax.device_get(phnloop.History(*(
+                np.concatenate([np.asarray(h[j])[: int(v[0])]
+                                for h, v in self._hist], axis=0)
+                for j in range(3))))
+            return phnloop.backtrack_batch(
+                phnloop.History(*fetched), self._n_dec, self.sr.phonemes)
+        # ragged path: fetch once, compact per stream on host
+        fetched = [(jax.device_get(h), v) for h, v in self._hist]
+        out: List[List[Label]] = []
+        for b in range(self.n):
+            cols = [tuple(np.asarray(a)[: int(v[b]), b] for a in h)
+                    for h, v in fetched if v[b] > 0]
+            if not cols:
+                out.append([])
+                continue
+            hist = phnloop.History(
+                *(np.concatenate([c[j] for c in cols]) for j in range(3)))
+            out.append(phnloop.backtrack(hist, self.sr.phonemes))
+        return out

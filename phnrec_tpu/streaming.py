@@ -142,11 +142,21 @@ class StreamingRecognizer:
         # machine per block
         self._stk = sr.stk_decoder
         self._stk_recs: List = []
-        self._stk_recs_host: List = []
+        self._stk_tail = None          # host dict of retained record rows
+        self._stk_frame0 = 0           # absolute frame of retained row 0
+        self._stk_committed: List[Label] = []
+        self._stk_like0 = 0.0          # cumulative like at the commit pt
         self._kws_tracker = None
         self._kws_hits_emitted = 0
         if self._stk is not None:
             self._stk_carry = self._stk.decoder.init_carry()
+            # retain at most this many record rows before committing the
+            # settled prefix and dropping it — the reference keeps a
+            # fixed-lag ring of time_pruning entries (Viterbi.cc:65-125);
+            # unbounded retention would be O(T) memory and O(T) work per
+            # results() call on a long live session
+            self._stk_horizon = max(4 * self._stk.time_pruning,
+                                    4 * block_frames, 512)
             if self._stk.mode == "kws":
                 from phnrec_tpu.decoder.stknet import KWSTracker
                 self._kws_tracker = KWSTracker(
@@ -297,7 +307,53 @@ class StreamingRecognizer:
                                    sink_val[:, c.kws_filler_sink],
                                    sink_wt[:, ws])
         else:
-            self._stk_recs.append(recs)   # stays on device until results()
+            self._stk_recs.append(recs)   # stays on device until pulled
+            self._stk_commit()
+
+    def _stk_pull(self) -> None:
+        """Move pending device record blocks into the host tail (one
+        concatenation per call; the tail stays bounded by the commit)."""
+        import jax
+
+        if not self._stk_recs:
+            return
+        blocks = [jax.tree_util.tree_map(np.asarray, r)
+                  for r in self._stk_recs]
+        self._stk_recs = []
+        if self._stk_tail is not None:
+            blocks.insert(0, self._stk_tail)
+        self._stk_tail = (blocks[0] if len(blocks) == 1 else
+                          jax.tree_util.tree_map(
+                              lambda *xs: np.concatenate(xs), *blocks))
+
+    def _stk_commit(self) -> None:
+        """Fixed-lag commit (the reference's TimePruning ring,
+        Viterbi.cc:65-125 / stkinterface.cpp:222-238): once the retained
+        record window exceeds the horizon, traceback it, move labels
+        ending at least time_pruning frames before the newest frame into
+        the committed prefix, and DROP their record rows — bounding both
+        memory and per-results() work for unbounded live sessions.  Like
+        the reference's forced commit, a later global-best-path shift
+        cannot rewrite the committed prefix."""
+        retained = (0 if self._stk_tail is None
+                    else self._stk_tail["in_am"].shape[0]) + \
+            sum(int(r["in_am"].shape[0]) for r in self._stk_recs)
+        if retained <= self._stk_horizon:
+            return
+        self._stk_pull()
+        labels = self._stk.decoder.traceback_host(
+            self._stk_tail, frame_offset=self._stk_frame0,
+            boundary=self._stk_frame0 > 0, like_offset=self._stk_like0)
+        horizon = self._n_decoded - self._stk.time_pruning
+        commit = [l for l in labels if l.end_frames <= horizon]
+        if not commit:
+            return      # nothing settled yet; keep retaining
+        cut_abs = commit[-1].end_frames          # absolute frame boundary
+        self._stk_committed.extend(commit)
+        self._stk_like0 += sum(l.score for l in commit)
+        cut = cut_abs - self._stk_frame0
+        self._stk_tail = {k: v[cut:] for k, v in self._stk_tail.items()}
+        self._stk_frame0 = cut_abs
 
     def _flush_blocks(self) -> None:
         self._drain()
@@ -366,8 +422,6 @@ class StreamingRecognizer:
         return labels
 
     def _stk_results(self, settled_only: bool) -> List[Label]:
-        import jax
-
         if self._kws_tracker is not None:
             # candidates flushed so far, in FLUSH order (the live callback
             # emission order — callers slice by count, so no sorting);
@@ -376,17 +430,15 @@ class StreamingRecognizer:
                 self._kws_tracker.finish()
             return [Label(h.start, h.end, h.word, h.score)
                     for h in self._kws_tracker.hits]
-        # fetch only blocks not yet pulled (live mode calls results per
-        # chunk; older blocks are already host-side)
-        while self._stk_recs:
-            self._stk_recs_host.append(jax.tree_util.tree_map(
-                np.asarray, self._stk_recs.pop(0)))
-        if not self._stk_recs_host:
-            return []
-        recs = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs), *self._stk_recs_host)
-        recs = jax.tree_util.tree_map(lambda a: a[: self._n_decoded], recs)
-        labels = self._stk.decoder.traceback_host(recs)
+        # committed prefix + traceback over the bounded retained window
+        # (the commit in _run_stk_block keeps the window near the
+        # horizon, so this is O(window), not O(session))
+        self._stk_pull()
+        if self._stk_tail is None:
+            return list(self._stk_committed)
+        labels = self._stk_committed + self._stk.decoder.traceback_host(
+            self._stk_tail, frame_offset=self._stk_frame0,
+            boundary=self._stk_frame0 > 0, like_offset=self._stk_like0)
         if settled_only:
             tp = self._stk.time_pruning
             horizon = self._n_decoded - tp

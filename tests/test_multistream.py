@@ -1,0 +1,124 @@
+"""Multi-stream streaming: N concurrent streams through one fused block
+dispatch must decode each stream exactly as the single-stream
+StreamingRecognizer does (the per-stream semantics of srec.cpp:793-927,
+batched into the lane axis)."""
+
+import numpy as np
+import pytest
+
+from phnrec_tpu.multistream import MultiStreamRecognizer
+from phnrec_tpu.pipeline import SpeechRec
+from phnrec_tpu.streaming import StreamingRecognizer
+
+from conftest import package_dir
+
+TEST_RAW = "/root/reference/test.raw"
+
+
+@pytest.fixture(scope="module")
+def sr_en():
+    return SpeechRec(package_dir("en"))
+
+
+@pytest.fixture(scope="module")
+def raw_bytes():
+    return open(TEST_RAW, "rb").read()
+
+
+def _streams(raw, n):
+    """n distinct byte streams sliced/shifted from test.raw (even sample
+    counts so lin16 frames stay aligned)."""
+    out = []
+    for i in range(n):
+        lo = (i * 1024) % (len(raw) // 2)
+        lo -= lo % 2
+        hi = len(raw) - (i * 4096) % (len(raw) // 3)
+        hi -= hi % 2
+        out.append(raw[lo:hi])
+    return out
+
+
+def _single_stream_labels(sr, stream_bytes, block):
+    rec = StreamingRecognizer(sr, block_frames=block)
+    rec.process(stream_bytes)
+    return rec.finish()
+
+
+def _key(labels):
+    return [(l.start_frames, l.end_frames, l.name) for l in labels]
+
+
+def test_multistream_matches_single(sr_en, raw_bytes):
+    streams = _streams(raw_bytes, 4)
+    ms = MultiStreamRecognizer(sr_en, n_streams=4, block_frames=64)
+    # interleave feeding in uneven chunks
+    offsets = [0] * 4
+    chunk = 7000
+    while any(o < len(s) for o, s in zip(offsets, streams)):
+        for i, s in enumerate(streams):
+            if offsets[i] < len(s):
+                ms.process(i, s[offsets[i] : offsets[i] + chunk])
+                offsets[i] += chunk
+    got = ms.finish()
+    for i, s in enumerate(streams):
+        want = _single_stream_labels(sr_en, s, 64)
+        assert _key(got[i]) == _key(want), f"stream {i} diverged"
+        for a, b in zip(got[i], want):
+            assert a.score == pytest.approx(b.score, abs=1e-3)
+
+
+def test_multistream_ragged_and_short(sr_en, raw_bytes):
+    """Streams of very different lengths, including one shorter than the
+    STC latency and one with zero audio."""
+    streams = [raw_bytes, raw_bytes[: 8 * 2 * 800],   # 0.1 s (10 frames)
+               raw_bytes[: 2 * 4000], b""]            # 0.5 s, empty
+    ms = MultiStreamRecognizer(sr_en, n_streams=4, block_frames=64)
+    for i, s in enumerate(streams):
+        if s:
+            ms.process(i, s)
+        ms.end_stream(i)
+    got = ms.finish()
+    for i, s in enumerate(streams):
+        if not s:
+            assert got[i] == []
+            continue
+        want = _single_stream_labels(sr_en, s, 64)
+        assert _key(got[i]) == _key(want), f"stream {i} diverged"
+
+
+def test_multistream_n1_equals_single(sr_en, raw_bytes):
+    ms = MultiStreamRecognizer(sr_en, n_streams=1, block_frames=64)
+    ms.process(0, raw_bytes)
+    got = ms.finish()[0]
+    want = _single_stream_labels(sr_en, raw_bytes, 64)
+    assert _key(got) == _key(want)
+
+
+def test_multistream_device_dispatch_path(sr_en, raw_bytes):
+    """dispatch_block_device (the pre-staged HBM path) must equal the
+    byte-fed path."""
+    import jax.numpy as jnp
+
+    n, block = 2, 64
+    spec = sr_en.frontend.spec
+    spb = block * spec.step
+    wave = np.frombuffer(raw_bytes, dtype="<i2")
+    n_blocks = (wave.shape[0] - (spec.vector_size - spec.step)) // spb
+    ms = MultiStreamRecognizer(sr_en, n_streams=n, block_frames=block)
+    dev = jnp.asarray(np.stack([wave] * n))
+    # split across both device-feeding APIs: a multi-block scanned
+    # dispatch, then per-block dispatches for the rest
+    half = n_blocks // 2
+    ms.decode_device_buffer(dev, half)
+    for k in range(half, n_blocks):
+        ms.dispatch_from_device_buffer(dev, k * spb)
+    # remaining samples go through the byte path, then finish
+    consumed = n_blocks * spb
+    tail = wave[consumed:].tobytes()
+    for i in range(n):
+        if tail:
+            ms.process(i, tail)
+    got = ms.finish()
+    want = _single_stream_labels(sr_en, raw_bytes, block)
+    for i in range(n):
+        assert _key(got[i]) == _key(want), f"stream {i} diverged"

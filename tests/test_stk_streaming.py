@@ -72,6 +72,37 @@ def test_streaming_stkint_matches_offline(tmp_path, wave_bytes):
         names[: len(part)]
 
 
+def test_streaming_stkint_commit_bounds_memory(tmp_path, wave_bytes):
+    """Long-session fixed-lag commit: with a small horizon the recognizer
+    must repeatedly commit the settled prefix and DROP its record rows
+    (the reference's TimePruning ring, Viterbi.cc:65-125) while still
+    producing the offline decode's labels."""
+    import jax.numpy as jnp
+
+    pkg = _stkint_package(tmp_path)
+    sr = SpeechRec(pkg)
+    par = sr.params_from_waveform(wave_bytes)
+    post = sr.posteriors_from_params(par)
+    want = sr.stk_decoder.decode(
+        np.asarray(sr.dec_soft(jnp.asarray(post))))
+
+    rec = StreamingRecognizer(sr, block_frames=32)
+    rec._stk_horizon = 64          # force frequent commits
+    for s in range(0, len(wave_bytes), 4096):
+        rec.process(wave_bytes[s : s + 4096])
+        rec.results(settled_only=True)       # live-style polling
+        if rec._stk_tail is not None:
+            # retained window stays bounded (horizon + in-flight blocks)
+            assert rec._stk_tail["in_am"].shape[0] <= 64 + 3 * 32
+    got = rec.finish()
+    assert rec._stk_frame0 > 0, "no commit ever happened"
+    assert len(rec._stk_committed) > 0
+    assert [(l.start_frames, l.end_frames, l.name) for l in got] == \
+        [(w.start_frames, w.end_frames, w.name) for w in want]
+    np.testing.assert_allclose([l.score for l in got],
+                               [w.score for w in want], atol=5e-3)
+
+
 def test_live_kws_matches_offline(tmp_path, wave_bytes):
     """Live-mode KWS chunks must yield the same hits as offline kws_scan
     (VERDICT r2 item 3 done-criterion)."""
