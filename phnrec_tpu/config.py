@@ -89,6 +89,11 @@ CONFIG_VARIABLES: Tuple[ConfigVar, ...] = tuple(
         # is additive — shipped configs never set them.
         ("decoder", "beam_pruning", FLOAT, "0.0"),
         ("kws", "score_pruning", FLOAT, "-1e30"),
+        # EXTENSION: initial online-norm channel for multi-channel
+        # sources (the reference exposes Normalization::SetChannel,
+        # norm.h:49/norm.cpp:202, but never wires it to config;
+        # StreamingRecognizer.set_channel switches mid-stream)
+        ("onlinenorm", "channel", INT, "0"),
         ("dirs", "tmp", STRING, "$C/tmp"),
         ("models", "hmm_defs", STRING, "$T/models"),
         ("models", "nstates", INT, "3"),

@@ -362,23 +362,59 @@ class NetworkDecoder:
                 entry_edge[e.dst] = k
         return entry, entry_edge, entry_wt
 
+    def _gmm_groups(self):
+        """Stack same-shape GMM states into [G, M, D] tensors, built once
+        (cached): a 500-state DiagC network then scores in O(#shapes)
+        fused einsum/logsumexp ops instead of one op chain per state."""
+        cached = getattr(self, "_gmm_groups_cache", None)
+        if cached is not None:
+            return cached
+        by_shape: Dict[Tuple[int, int], List[int]] = {}
+        for gi, g in enumerate(self.c.gmm_states):
+            by_shape.setdefault(g.means.shape, []).append(gi)
+        groups = []
+        for shape, idxs in by_shape.items():
+            gs = [self.c.gmm_states[i] for i in idxs]
+            groups.append((
+                np.asarray(idxs, np.int64),
+                jnp.asarray(np.stack([g.means for g in gs])),
+                jnp.asarray(1.0 / np.stack([g.variances for g in gs])),
+                jnp.asarray(np.log(np.stack([g.weights for g in gs]))
+                            - 0.5 * np.stack([g.gconsts for g in gs])),
+            ))
+        self._gmm_groups_cache = groups
+        return groups
+
     def state_observations(self, obs: jnp.ndarray) -> jnp.ndarray:
         """[T, D] decoder input -> [T, E] per-state observation log-probs.
 
         PDFObsVec states gather their posterior column; DiagC GMM states
-        get batched log-likelihoods (one [T, M_mix] GEMM-shaped reduction
-        per state set)."""
+        get batched log-likelihoods — same-shape states stacked into
+        [G, M, D] tensors, one quadratic-form einsum + logsumexp per
+        distinct (n_mix, dim) shape (DiagCGaussianMixtureDensity,
+        Viterbi.cc:719-755, vectorized over states x mixtures)."""
         c = self.c
         if len(c.gmm_states) == 0:
             return obs[:, self.obs_idx]
         cols = obs[:, self.obs_idx]
-        glls = []
-        for g in c.gmm_states:
-            diff = obs[:, None, :] - g.means[None]          # [T, M, D]
-            q = jnp.sum(diff * diff / g.variances[None], axis=-1)
-            comp = jnp.log(g.weights)[None] - 0.5 * (g.gconsts[None] + q)
-            glls.append(jax.scipy.special.logsumexp(comp, axis=-1))
-        gll = jnp.stack(glls, axis=1)                        # [T, n_gmm]
+        n_gmm = len(c.gmm_states)
+        parts = []
+        rows = []
+        for idxs, means, inv_var, logw_half in self._gmm_groups():
+            # q[t,g,m] = sum_d (obs[t,d]-mu[g,m,d])^2 / var[g,m,d]
+            #   expanded: obs^2 . iv  -  2 obs . (mu iv)  +  sum mu^2 iv
+            o2 = jnp.einsum("td,gmd->tgm", obs * obs, inv_var,
+                            precision=jax.lax.Precision.HIGHEST)
+            om = jnp.einsum("td,gmd->tgm", obs, means * inv_var,
+                            precision=jax.lax.Precision.HIGHEST)
+            mm = jnp.sum(means * means * inv_var, axis=-1)   # [G, M]
+            comp = logw_half[None] - 0.5 * (o2 - 2.0 * om + mm[None])
+            parts.append(jax.scipy.special.logsumexp(comp, axis=-1))
+            rows.append(idxs)
+        gll_cat = jnp.concatenate(parts, axis=1)             # [T, n_gmm]
+        perm = np.empty(n_gmm, np.int64)
+        perm[np.concatenate(rows)] = np.arange(n_gmm)
+        gll = gll_cat[:, perm]
         is_gmm = jnp.asarray(c.gmm_index >= 0)
         gidx = jnp.asarray(np.maximum(c.gmm_index, 0))
         return jnp.where(is_gmm[None, :], gll[:, gidx], cols)

@@ -250,3 +250,77 @@ def apply_instance(inst: XformInstance, x: jnp.ndarray) -> jnp.ndarray:
     if inst.input is not None:
         x = apply_instance(inst.input, x)
     return apply_xform(inst.xform, x)
+
+
+# -- carried-state (streaming) application ----------------------------------
+#
+# The reference applies Xforms per frame with live delay-line memory
+# (XformInstance stacks updated by ModelSet::UpdateStacks from every
+# ViterbiStep, Viterbi.cc:2068, Models.h:891-1028).  The batched
+# apply_xform above is its whole-utterance equivalent; these stateful
+# forms are the CHUNKED equivalent: each stacking node carries its last
+# K-1 input frames across chunks (zero-initialized, exactly the zeroed
+# stack memory of StackingXform::Evaluate), so a chunked stream equals
+# the whole-utterance application bit-for-bit at block boundaries.
+
+def xform_init_state(xf: Xform):
+    """Zero-initialized delay-line state pytree mirroring the Xform
+    structure (None for stateless nodes)."""
+    if xf.kind == "stacking":
+        return jnp.zeros((xf.stack_size - 1, xf.in_size), jnp.float32)
+    if xf.kind == "composite":
+        return [[xform_init_state(b) for b in layer] for layer in xf.layers]
+    return None
+
+
+def apply_xform_stateful(xf: Xform, st, x: jnp.ndarray):
+    """[T, in] chunk + carried state -> (state', [T, out])."""
+    if xf.kind == "stacking":
+        K = xf.stack_size
+        T = x.shape[0]
+        ctx = jnp.concatenate([st, x], axis=0)       # [K-1+T, in]
+        out = jnp.concatenate([ctx[k : k + T] for k in range(K)], axis=1)
+        return ctx[T:], out
+    if xf.kind == "composite":
+        new_state = []
+        for layer, lst in zip(xf.layers, st):
+            outs = []
+            nls = []
+            off = 0
+            for b, bst in zip(layer, lst):
+                bst, y = apply_xform_stateful(b, bst, x[:, off:off + b.in_size])
+                outs.append(y)
+                nls.append(bst)
+                off += b.in_size
+            x = jnp.concatenate(outs, axis=1)
+            new_state.append(nls)
+        return new_state, x
+    return st, apply_xform(xf, x)
+
+
+def instance_init_state(inst: XformInstance):
+    return ((instance_init_state(inst.input)
+             if inst.input is not None else None),
+            xform_init_state(inst.xform))
+
+
+def apply_instance_stateful(inst: XformInstance, st, x: jnp.ndarray):
+    """Chunked XformInstance chain: (state, [T, D]) -> (state', [T, out])."""
+    in_st, xf_st = st
+    if inst.input is not None:
+        in_st, x = apply_instance_stateful(inst.input, in_st, x)
+    xf_st, y = apply_xform_stateful(inst.xform, xf_st, x)
+    return (in_st, xf_st), y
+
+
+class StreamingXform:
+    """Stateful wrapper used by the streaming stkint path: feed chunks,
+    get transformed chunks equal to the whole-utterance apply_instance."""
+
+    def __init__(self, inst: XformInstance):
+        self.inst = inst
+        self.state = instance_init_state(inst)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        self.state, y = apply_instance_stateful(self.inst, self.state, x)
+        return y

@@ -80,14 +80,33 @@ class BatchPipeline:
     # -- jitted core -----------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 3))
     def _core(self, wave: jnp.ndarray, n_frames: jnp.ndarray,
-              max_frames: int):
+              max_frames: int, n_samples: Optional[jnp.ndarray] = None):
         """[B, L] waves + [B] frame counts -> compacted Segments (the full
         wav->mel->LCRC->MLPs->Viterbi->backtrack program on device)."""
         sr = self.sr
         fe = sr.frontend
         est = sr.estimator
 
-        if wave.dtype == jnp.int16:
+        if wave.dtype == jnp.uint8:
+            # device-side alaw decode (srec.cpp:769: 8*ALawTableD5[b]) —
+            # raw codes cross the host->device link at ONE byte/sample, a
+            # quarter of pre-converted f32; the 256-float table gather
+            # reproduces the host floats exactly.  No alaw code decodes
+            # to 0, so samples past each row's true length are zero-
+            # masked to match the reference's float zero-pad
+            # (srec.cpp:731-740).
+            from phnrec_tpu.io.audio import ALAW_TABLE_D5
+            table = jnp.asarray(8.0 * ALAW_TABLE_D5.astype(np.float32))
+            wave = table[wave.astype(jnp.int32)]
+            if n_samples is not None:
+                wave = jnp.where(
+                    jnp.arange(wave.shape[1])[None, :] < n_samples[:, None],
+                    wave, 0.0)
+            if sr.wave_dc_shift != 0.0:
+                wave = wave + jnp.float32(sr.wave_dc_shift)
+            if sr.wave_scale != 1.0:
+                wave = wave * jnp.float32(sr.wave_scale)
+        elif wave.dtype == jnp.int16:
             # device-side ConvertWaveformFormat (srec.cpp:709-791, lin16
             # path, no dither): cast, DC shift, scale.  Shipping int16
             # halves host->device bytes vs pre-converted f32.
@@ -122,10 +141,13 @@ class BatchPipeline:
             self.sr.frontend.frame_count(wave.shape[1]))
         w = jnp.asarray(wave)
         nf = jnp.asarray(n_frames)
+        ns = jnp.asarray(n_samples) if wave.dtype == np.uint8 else None
         if self._sharding is not None:
             w = jax.device_put(w, self._sharding)
             nf = jax.device_put(nf, self._sharding)
-        segs = self._core(w, nf, max_frames)
+            if ns is not None:
+                ns = jax.device_put(ns, self._sharding)
+        segs = self._core(w, nf, max_frames, ns)
         segs = phnloop.fetch_segments(segs)
         labels = phnloop.labels_from_segments(
             segs, n_frames, self.sr.phonemes)

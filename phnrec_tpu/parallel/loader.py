@@ -48,13 +48,19 @@ class PrefetchLoader:
                  noise_level: float = 0.0, sample_freq: int = 8000,
                  max_batch: int = 64, granularity: int = 512,
                  prefetch: int = 2, n_workers: int = 4,
-                 raw_int16: bool = False):
+                 raw_int16: bool = False, raw_alaw: bool = False):
         """``raw_int16`` ships lin16 batches to the device as int16 and
         leaves the cast + DC shift + scaling to the jitted pipeline
         (BatchPipeline._core): half the host->device bytes, which is the
         whole game when the interconnect — not the chip — is the
         bottleneck.  Requires fmt == lin16 and noise_level == 0 (dither
-        uses the host-side reference LCG, srec.cpp:771-785)."""
+        uses the host-side reference LCG, srec.cpp:771-785).
+
+        ``raw_alaw`` does the same for alaw sources, shipping the raw
+        uint8 codes (ONE byte per sample — a quarter of pre-converted
+        f32) and decoding on device via a 256-entry table gather, which
+        reproduces the reference's `8*ALawTableD5[b]` floats exactly
+        (srec.cpp:769)."""
         self.sources = list(sources)
         self.fmt = fmt
         self.scale = scale
@@ -66,8 +72,11 @@ class PrefetchLoader:
         self.prefetch = max(1, prefetch)
         self.n_workers = max(1, n_workers)
         self.raw_int16 = raw_int16
+        self.raw_alaw = raw_alaw
         if raw_int16 and (fmt != "lin16" or noise_level != 0.0):
             raise ValueError("raw_int16 requires lin16 input without dither")
+        if raw_alaw and (fmt != "alaw" or noise_level != 0.0):
+            raise ValueError("raw_alaw requires alaw input without dither")
 
     # -- single-utterance load (worker side) ------------------------------
     def _load_one(self, src: str) -> Tuple[np.ndarray, int]:
@@ -79,6 +88,17 @@ class PrefetchLoader:
                     [sig, np.zeros(audio.MB_VECTORSIZE - sig.shape[0],
                                    np.int16)])
             return sig, len(raw) // 2
+        if self.raw_alaw:
+            sig = np.frombuffer(raw, dtype=np.uint8)
+            if sig.shape[0] < audio.MB_VECTORSIZE:
+                # no alaw code decodes to 0, so the pad VALUE here is
+                # arbitrary: the device pipeline zero-masks samples
+                # >= n_samples[b] to reproduce the reference's float
+                # zero-pad (srec.cpp:731-740) exactly
+                sig = np.concatenate(
+                    [sig, np.full(audio.MB_VECTORSIZE - sig.shape[0],
+                                  0x55, np.uint8)])
+            return sig, len(raw)
         return audio.convert_waveform(raw, self.fmt, scale=self.scale,
                                       dc_shift=self.dc_shift,
                                       noise_level=self.noise_level)
@@ -105,12 +125,15 @@ class PrefetchLoader:
         for k, i in enumerate(idxs):
             w, n = self._load_one(self.sources[i])
             waves.append(w)
-            n_samples[k] = w.shape[0]
+            # TRUE sample count (not the MB_VECTORSIZE-padded length):
+            # the device alaw mask zeroes samples >= n_samples[b]
+            n_samples[k] = n
             secs += n / self.sample_freq
         L = -(-max(w.shape[0] for w in waves) // self.granularity) \
             * self.granularity
-        wave = np.zeros((len(idxs), L),
-                        np.int16 if self.raw_int16 else np.float32)
+        dtype = (np.int16 if self.raw_int16 else
+                 np.uint8 if self.raw_alaw else np.float32)
+        wave = np.zeros((len(idxs), L), dtype)
         for k, w in enumerate(waves):
             wave[k, : w.shape[0]] = w
         return LoadedBatch(indices=idxs,

@@ -248,18 +248,104 @@ class SpeechRec:
 
     def process_file_list(self, inpf: str, outpf: str, list_path: str,
                           mlf_path: Optional[str] = None) -> None:
+        entries = []
+        with open(list_path) as f:
+            for raw in f:
+                parts = raw.split()
+                if not parts:
+                    continue
+                source = parts[0]
+                target = (parts[1] if len(parts) > 1 else
+                          self.compose_target_name(
+                              source, outpf, for_mlf=mlf_path is not None))
+                entries.append((source, target))
+        if self._can_batch_list(inpf, outpf):
+            self._process_file_list_batched(entries, mlf_path)
+            return
         mlf = MLFWriter(mlf_path) if mlf_path else None
         try:
-            with open(list_path) as f:
-                for raw in f:
-                    parts = raw.split()
-                    if not parts:
-                        continue
-                    source = parts[0]
-                    target = (parts[1] if len(parts) > 1 else
-                              self.compose_target_name(
-                                  source, outpf, for_mlf=mlf is not None))
-                    self.process_file(inpf, outpf, source, target, mlf)
+            for source, target in entries:
+                self.process_file(inpf, outpf, source, target, mlf)
+        finally:
+            if mlf:
+                mlf.close()
+
+    def _can_batch_list(self, inpf: str, outpf: str) -> bool:
+        """The bucketed batch pipeline covers the common production
+        shape: raw waveforms -> phoneme strings through the mel frontend
+        + estimator + phoneme-loop decoder.  Everything else (par/post
+        staged I/O, PLP, stkint/KWS, dithered sources) keeps the serial
+        per-file path, whose per-utterance jits recompile per length."""
+        return (inpf == "wf" and outpf == "str"
+                and self.traps_enabled and self.estimator is not None
+                and self.stk_decoder is None
+                and type(self.frontend) is melbanks.MelFrontend
+                and self.wave_noise == 0.0)
+
+    def _process_file_list_batched(self, entries,
+                                   mlf_path: Optional[str]) -> None:
+        """File-list decode through PrefetchLoader buckets + the jitted
+        batch pipeline — the TPU replacement for the reference's serial
+        per-utterance loop (srec.cpp:1246-1291).  Batches are decoded
+        with the device backtrack and results are written in LIST ORDER
+        (the serial path's output order), overlapping each batch's D2H
+        fetch with the next batch's compute."""
+        from phnrec_tpu.decoder import phnloop
+        from phnrec_tpu.parallel.batch import BatchPipeline
+        from phnrec_tpu.parallel.loader import PrefetchLoader
+
+        cfg = self.cfg
+        bp = getattr(self, "_bp", None)
+        if bp is None:
+            bp = self._bp = BatchPipeline(self)
+        raw_i16 = self.wave_format == "lin16"
+        raw_alaw = self.wave_format == "alaw"
+        freq = cfg.get_int("source", "sample_freq")
+        loader = PrefetchLoader(
+            [s for s, _ in entries], fmt=self.wave_format,
+            scale=self.wave_scale, dc_shift=self.wave_dc_shift,
+            noise_level=self.wave_noise, sample_freq=freq,
+            max_batch=256, granularity=2 * freq, prefetch=3, n_workers=8,
+            raw_int16=raw_i16, raw_alaw=raw_alaw)
+        results: dict = {}
+
+        def finish(p):
+            batch, fetched, n_frames = p
+            segs = phnloop.fetch_segments_finish(fetched)
+            labels = phnloop.labels_from_segments(
+                segs, n_frames, self.phonemes)
+            for idx, labs in zip(batch.indices, labels):
+                results[idx] = labs
+
+        pending = None
+        for batch in loader:
+            self.log_fn("".join(
+                f"{s} -> {t}\n" for s, t in
+                (entries[i] for i in batch.indices)))
+            n_frames = bp.frame_counts(batch.n_samples)
+            max_frames = int(
+                self.frontend.frame_count(batch.wave.shape[1]))
+            ns = (jnp.asarray(batch.n_samples)
+                  if batch.wave.dtype == np.uint8 else None)
+            segs = bp._core(jnp.asarray(batch.wave),
+                            jnp.asarray(n_frames), max_frames, ns)
+            fetched = phnloop.fetch_segments_start(segs)
+            if pending is not None:
+                finish(pending)
+            pending = (batch, fetched, n_frames)
+        if pending is not None:
+            finish(pending)
+
+        mlf = MLFWriter(mlf_path) if mlf_path else None
+        try:
+            for idx, (source, target) in enumerate(entries):
+                labels = results[idx]
+                if mlf is not None:
+                    mlf.add(target, labels)
+                elif target is not None:
+                    with open(target, "w") as f:
+                        for line in DecodeResult(labels).rec_lines():
+                            f.write(line + "\n")
         finally:
             if mlf:
                 mlf.close()

@@ -53,6 +53,8 @@ class StreamingRecognizer:
         self.trap_shift = sr.estimator.trap_shift
         self.online_norm = normalization.OnlineNorm.from_config(
             sr.cfg, spec.nbanks)
+        self.online_norm.set_channel(
+            sr.cfg.get_int("onlinenorm", "channel"))
 
         # lin16 without dither ships int16 to the device; dither needs the
         # host LCG (srec.cpp:771-785), A-law converts via the host table
@@ -162,6 +164,27 @@ class StreamingRecognizer:
                 self._kws_tracker = KWSTracker(
                     self._stk.keywords(), self._stk.time_pruning,
                     self._stk.kws_score_pruning)
+            # global <InputXform> with delay (stacking) nodes: carry the
+            # delay lines across chunks (the per-frame UpdateStacks
+            # semantics, Viterbi.cc:2068/Models.h:891-1028) so chunked
+            # equals whole-utterance at block boundaries
+            self._stk_xform = None
+            if self._stk.model_set.input_xform is not None:
+                from phnrec_tpu.io.xform import StreamingXform
+                self._stk_xform = StreamingXform(
+                    self._stk.model_set.input_xform)
+
+    def set_channel(self, cid: int) -> None:
+        """Switch the online-normalization channel for subsequent audio
+        (multi-channel sources: each channel carries its own running
+        mean/variance estimate, Normalization::SetChannel norm.cpp:202).
+        Pending full mel blocks are drained under the OLD channel first;
+        samples not yet forming a full block normalize under the new one,
+        so switch at segment boundaries (as a multi-channel source
+        naturally does)."""
+        if self.online_norm.enabled:
+            self._drain()
+        self.online_norm.set_channel(cid)
 
     # -- waveform -> mel frames -----------------------------------------
     def process(self, raw: bytes) -> None:
@@ -288,7 +311,7 @@ class StreamingRecognizer:
         import jax
 
         dec = self._stk
-        obs = dec._xform(lp)
+        obs = self._stk_xform(lp) if self._stk_xform is not None else lp
         obs_state = dec.decoder.state_observations(obs)
         from phnrec_tpu.decoder.stknet import OFF_BEAM
         beam = jnp.float32(OFF_BEAM if dec.beam_pruning is None

@@ -111,6 +111,64 @@ I=5 W=!NULL
         compile_network(netp, cz_models, wpenalty=-1.0, lm_scale=1.0)
 
 
+def _gmm_mmf(rng, n_models: int, dim: int) -> str:
+    """DiagC MMF with varied mixture counts (1/2/4) so stacked scoring
+    exercises multiple shape groups."""
+    out = [f"~o <VecSize> {dim} <DIAGC>"]
+    for i in range(n_models):
+        n_mix = [1, 2, 4][i % 3]
+        out.append(f'~h "m{i}"\n<BEGINHMM>\n<NUMSTATES> 4')
+        for s in (2, 3):
+            out.append(f"<STATE> {s} <NUMMIXES> {n_mix}")
+            w = rng.random(n_mix) + 0.1
+            w /= w.sum()
+            for m in range(1, n_mix + 1):
+                out.append(f"<MIXTURE> {m} {w[m - 1]:.6f}")
+                mu = rng.normal(0, 2, dim)
+                var = rng.random(dim) + 0.2
+                out.append("<MEAN> %d\n %s" % (
+                    dim, " ".join(f"{x:.6f}" for x in mu)))
+                out.append("<VARIANCE> %d\n %s" % (
+                    dim, " ".join(f"{x:.6f}" for x in var)))
+        out.append("<TRANSP> 4\n 0.0 1.0 0.0 0.0\n 0.0 0.5 0.5 0.0\n"
+                   " 0.0 0.0 0.5 0.5\n 0.0 0.0 0.0 0.0\n<ENDHMM>")
+    return "\n".join(out) + "\n"
+
+
+def test_stacked_gmm_scoring_matches_per_state(tmp_path):
+    """state_observations stacks same-shape GMM states into [G, M, D]
+    einsums; values must match the direct per-state density
+    (DiagCGaussianMixtureDensity, Viterbi.cc:719-755)."""
+    rng = np.random.default_rng(11)
+    dim, n_models = 5, 12
+    mp = tmp_path / "gmm.mmf"
+    mp.write_text(_gmm_mmf(rng, n_models, dim))
+    ms = parse_mmf(str(mp))
+    lines = ["I=0 W=!NULL " + " ".join(f"E={i + 1}"
+                                       for i in range(n_models))]
+    for i in range(n_models):
+        lines.append(f"I={i + 1} M=m{i} E={n_models + 1}")
+    lines.append(f"I={n_models + 1} W=!NULL")
+    net = parse_stk_network("\n".join(lines), is_text=True)
+    c = compile_network(net, ms, wpenalty=0.0, lm_scale=1.0)
+    assert len(c.gmm_states) == n_models * 2
+    assert len({g.means.shape for g in c.gmm_states}) == 3
+    dec = NetworkDecoder(c)
+    obs = rng.normal(0, 2, (17, dim)).astype(np.float32)
+    got = np.asarray(dec.state_observations(obs))
+    # direct per-state reference
+    for e in range(c.n_states):
+        gi = int(c.gmm_index[e])
+        assert gi >= 0
+        g = c.gmm_states[gi]
+        q = (((obs[:, None, :] - g.means[None]) ** 2)
+             / g.variances[None]).sum(-1)
+        comp = np.log(g.weights)[None] - 0.5 * (g.gconsts[None] + q)
+        m = comp.max(axis=1, keepdims=True)
+        want = (m + np.log(np.exp(comp - m).sum(axis=1, keepdims=True)))[:, 0]
+        np.testing.assert_allclose(got[:, e], want, rtol=2e-4, atol=2e-4)
+
+
 TEE_MMF = """\
 ~o <VecSize> 6 <PDFObsVec>
 ~h "x"

@@ -72,6 +72,41 @@ def test_streaming_stkint_matches_offline(tmp_path, wave_bytes):
         names[: len(part)]
 
 
+def test_streaming_stkint_delayed_input_xform(tmp_path, wave_bytes):
+    """A model set with a DELAYED global <InputXform> (stacking node):
+    the streaming path must carry the delay lines across chunks
+    (UpdateStacks per ViterbiStep, Viterbi.cc:2068) and equal the
+    whole-utterance offline decode."""
+    import jax.numpy as jnp
+
+    from phnrec_tpu.io.xform import Xform, XformInstance
+
+    pkg = _stkint_package(tmp_path)
+    sr = SpeechRec(pkg)
+    par = sr.params_from_waveform(wave_bytes)
+    post = sr.posteriors_from_params(par)
+    D = post.shape[1]   # decoder observation width (NN outputs)
+    # mix 0.8*current + 0.2*previous frame: stacking 2 (oldest first)
+    # followed by a [D, 2D] linear
+    M = np.concatenate([0.2 * np.eye(D), 0.8 * np.eye(D)],
+                       axis=1).astype(np.float32)
+    base = XformInstance("s", Xform("stacking", D, 2 * D, delay=1,
+                                    stack_size=2), out_size=2 * D)
+    top = XformInstance("t", Xform("linear", 2 * D, D, matrix=M),
+                        input=base, out_size=D)
+    sr.stk_decoder.model_set.input_xform = top
+    want = sr.stk_decoder.decode(np.asarray(sr.dec_soft(jnp.asarray(post))))
+    assert want
+
+    rec = StreamingRecognizer(sr, block_frames=32)
+    assert rec._stk_xform is not None
+    for s in range(0, len(wave_bytes), 3001):
+        rec.process(wave_bytes[s : s + 3001])
+    got = rec.finish()
+    assert [(l.start_frames, l.end_frames, l.name) for l in got] == \
+        [(w.start_frames, w.end_frames, w.name) for w in want]
+
+
 def test_streaming_stkint_commit_bounds_memory(tmp_path, wave_bytes):
     """Long-session fixed-lag commit: with a small horizon the recognizer
     must repeatedly commit the settled prefix and DROP its record rows

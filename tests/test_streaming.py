@@ -97,3 +97,34 @@ def test_norm_file_roundtrip(tmp_path):
     np.testing.assert_allclose(back[0]["mean"], means)
     np.testing.assert_allclose(back[0]["inv_std"], inv, rtol=1e-5)
     np.testing.assert_allclose(back[3]["mean"], means * 2)
+
+
+def test_online_norm_multi_channel_independent():
+    """Channels estimate and normalize independently (per-channel
+    ChannelNormParams, norm.cpp:92-148; SetChannel norm.cpp:202)."""
+    rng = np.random.default_rng(9)
+    a = rng.normal(5.0, 1.0, (120, 4)).astype(np.float32)
+    b = rng.normal(-3.0, 4.0, (120, 4)).astype(np.float32)
+    on = OnlineNorm(4, estim_interval=50, mean_norm=True, var_norm=True)
+    on.set_channel(0)
+    out_a1 = on.process_block(a[:60])
+    on.set_channel(1)
+    out_b = on.process_block(b)
+    on.set_channel(0)
+    out_a2 = on.process_block(a[60:])
+
+    ref_a = OnlineNorm(4, estim_interval=50, mean_norm=True, var_norm=True)
+    ref_b = OnlineNorm(4, estim_interval=50, mean_norm=True, var_norm=True)
+    np.testing.assert_array_equal(
+        np.concatenate([out_a1, out_a2]), ref_a.process_block(a))
+    np.testing.assert_array_equal(out_b, ref_b.process_block(b))
+
+
+def test_streaming_channel_config_and_switch(sr_en):
+    """The onlinenorm/channel extension key selects the initial channel
+    and StreamingRecognizer.set_channel switches mid-stream."""
+    rec = StreamingRecognizer(sr_en)
+    assert rec.online_norm.cur == \
+        sr_en.cfg.get_int("onlinenorm", "channel") == 0
+    rec.set_channel(3)
+    assert rec.online_norm.cur == 3 and 3 in rec.online_norm.channels

@@ -95,3 +95,37 @@ def test_global_input_xform(tmp_path):
     assert inp is not None
     y = np.asarray(apply_instance(inp, np.zeros((1, 2), np.float32)))
     assert np.allclose(y, [[1.0, 2.0]])
+
+
+def test_stateful_chunked_equals_whole(tmp_path):
+    """Carried delay-line application (StreamingXform) must equal the
+    whole-utterance apply_instance for any chunking — the per-frame
+    UpdateStacks semantics (Viterbi.cc:2068, Models.h:891-1028)."""
+    from phnrec_tpu.io.xform import (StreamingXform, apply_instance,
+                                     parse_mmf_xforms)
+
+    mmf = """~o <VecSize> 2 <DIAGC>
+~x "comp" <NumLayers> 2
+  <Layer> 1 <NumBlocks> 2
+    <Block> 1 <Stacking> 3 1
+    <Block> 2 <Xform> 1 1  2
+  <Layer> 2 <Xform> 2 4  1 0 0 0  0 0 1 1
+~j "base" <VecSize> 4 <Stacking> 2 2
+~j "top" <Input> ~j "base" <VecSize> 2 ~x "comp"
+"""
+    p = tmp_path / "s.mmf"
+    p.write_text(mmf)
+    _, jm, _ = parse_mmf_xforms(str(p))
+    inst = jm["top"]
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(57, 2)).astype(np.float32)
+    want = np.asarray(apply_instance(inst, x))
+    for chunks in ([57], [10, 20, 27], [1] * 57, [3, 50, 4]):
+        sx = StreamingXform(inst)
+        outs = []
+        off = 0
+        for c in chunks:
+            outs.append(np.asarray(sx(x[off : off + c])))
+            off += c
+        np.testing.assert_allclose(np.concatenate(outs), want, atol=1e-6,
+                                   err_msg=f"chunks={chunks}")
