@@ -861,6 +861,176 @@ class KWSTracker:
         return self.hits[first:]
 
 
+class DeviceKWSTracker:
+    """LRTrace candidate tracking carried ON DEVICE (the state machine of
+    stkinterface.cpp:240-289/349-380, same semantics as KWSTracker, as a
+    jitted scan over frames).
+
+    The host tracker costs one BLOCKING device->host fetch of the sink
+    values per block — through a high-latency link that serializes the
+    live decode.  Here the per-keyword candidate state ([K] lanes of
+    last/candidate LR, start/end times, dumped flags) rides inside a
+    device scan; only compact flush-event records leave the device, and
+    only when the host asks (collect()), so chunk latency no longer
+    scales with link round trips.  Up to two flushes can fire per
+    keyword per frame (a new-hypothesis flush of the previous candidate,
+    then a time-pruning flush), emitted as two event slots whose
+    frame-major order reproduces the reference's callback order."""
+
+    def __init__(self, keywords: Sequence[str],
+                 time_pruning: float = 1e9,
+                 score_pruning: float = -np.inf,
+                 improve_kwd_estim: bool = False,
+                 keyword0_time_quirk: bool = True,
+                 word_sinks: Optional[Sequence[int]] = None,
+                 filler_sink: Optional[int] = None):
+        self.keywords = list(keywords)
+        self.hits: List[KWSHit] = []
+        K = len(keywords)
+        self.t = 0
+        self._pending: List = []
+        # sink-column extraction happens INSIDE the jitted scan when the
+        # sink layout is given (eager slicing would pay a synchronous
+        # lowering round trip per block on remote backends)
+        self._ws = (None if word_sinks is None
+                    else jnp.asarray(np.asarray(word_sinks, np.int32)))
+        self._fs = filler_sink
+        self.state = (jnp.full((K,), -jnp.inf, jnp.float32),   # last_lr
+                      jnp.full((K,), -jnp.inf, jnp.float32),   # cand_lr
+                      jnp.zeros((K,), jnp.int32),              # cand_start
+                      jnp.zeros((K,), jnp.int32),              # cand_end
+                      jnp.zeros((K,), jnp.int32),              # prev_end
+                      jnp.zeros((K,), bool))                   # dumped
+        tp = float(time_pruning)
+        sp = np.float32(score_pruning)
+        improve = bool(improve_kwd_estim)
+        quirk = bool(keyword0_time_quirk)
+
+        def flush(cand_lr, cand_start, cand_end, prev_end, dumped, cond):
+            """PutKWSCandidateToLabels under a lane mask: returns the
+            event record + updated (prev_end, dumped)."""
+            improved = improve & (cand_end != prev_end) \
+                if improve else jnp.zeros_like(dumped)
+            do = cond & (cand_end != 0) & (~dumped | improved)
+            emit = do & (cand_lr >= sp)
+            rec = dict(emit=emit, start=cand_start, end=cand_end,
+                       score=cand_lr, new_estim=dumped)
+            prev_end = jnp.where(do, cand_end, prev_end)
+            dumped = jnp.where(do, True, dumped)
+            return rec, prev_end, dumped
+
+        def step(st, inputs):
+            last_lr, cand_lr, cand_start, cand_end, prev_end, dumped = st
+            wv, fl, ws, t = inputs
+            active = (wv > NEG / 2) & (fl > NEG / 2)
+            lr = jnp.where(active, wv - fl, -jnp.inf)
+            growing = active & (lr >= last_lr)
+            new_hyp = growing & (cand_end <= ws)
+            take = growing & ((lr >= cand_lr) | new_hyp)
+            ev1 = new_hyp & take
+            rec1, prev_end, dumped = flush(
+                cand_lr, cand_start, cand_end, prev_end, dumped, ev1)
+            dumped = jnp.where(ev1, False, dumped)
+            cand_start = jnp.where(take, ws, cand_start)
+            cand_end = jnp.where(take, t + 1, cand_end)
+            cand_lr = jnp.where(take, lr, cand_lr)
+            last_lr = jnp.where(active, lr, -jnp.inf)
+            if tp < 1e9:
+                # the reference tests KEYWORD 0's candidate age for every
+                # keyword (stkinterface.cpp:285-288, kept by default)
+                ref_end = (jnp.broadcast_to(cand_end[0], cand_end.shape)
+                           if quirk else cand_end)
+                stale = active & (ref_end != 0) & \
+                    ((t + 1) - ref_end >= jnp.int32(int(tp)))
+                rec2, prev_end, dumped = flush(
+                    cand_lr, cand_start, cand_end, prev_end, dumped,
+                    stale)
+            else:
+                rec2 = jax.tree_util.tree_map(jnp.zeros_like, rec1)
+            st = (last_lr, cand_lr, cand_start, cand_end, prev_end,
+                  dumped)
+            return st, (rec1, rec2)
+
+        @jax.jit
+        def scan(st, wv, fl, ws, t0):
+            F = wv.shape[0]
+            tt = jnp.int32(t0) + jnp.arange(F, dtype=jnp.int32)
+            return jax.lax.scan(step, st, (wv, fl, ws, tt))
+
+        self._scan = scan
+        ws_idx, fs_idx = self._ws, self._fs
+
+        @jax.jit
+        def scan_sinks(st, sink_val, sink_wt, t0):
+            wv = sink_val[:, ws_idx]
+            fl = sink_val[:, fs_idx]
+            ws = sink_wt[:, ws_idx].astype(jnp.int32)
+            F = wv.shape[0]
+            tt = jnp.int32(t0) + jnp.arange(F, dtype=jnp.int32)
+            return jax.lax.scan(step, st, (wv, fl, ws, tt))
+
+        self._scan_sinks = scan_sinks if ws_idx is not None else None
+
+    def feed_device(self, word_vals, filler, start_times) -> None:
+        """Track a block of DEVICE-resident sink records [F, K]/[F]/[F, K]
+        (no host transfer happens here)."""
+        self.state, events = self._scan(
+            self.state, word_vals, filler,
+            jnp.asarray(start_times).astype(jnp.int32), self.t)
+        self.t += int(word_vals.shape[0])
+        self._pending.append(events)
+
+    def feed_sinks(self, sink_val, sink_wt) -> None:
+        """Track a block straight from the decoder's raw sink records
+        [F, n_sinks] (column extraction fused into the scan dispatch)."""
+        self.state, events = self._scan_sinks(
+            self.state, sink_val, sink_wt, self.t)
+        self.t += int(sink_val.shape[0])
+        self._pending.append(events)
+
+    def collect(self) -> List[KWSHit]:
+        """Fetch all pending flush events in ONE transfer and append the
+        decoded hits (reference callback order: frame-major, new-hyp
+        slot before the time-pruning slot)."""
+        if not self._pending:
+            return []
+        fetched = jax.device_get(self._pending)
+        self._pending = []
+        first = len(self.hits)
+        for rec1, rec2 in fetched:
+            emit = np.stack([np.asarray(rec1["emit"]),
+                             np.asarray(rec2["emit"])], axis=1)  # [F,2,K]
+            if not emit.any():
+                continue
+            recs = [rec1, rec2]
+            for t, slot, j in zip(*np.nonzero(emit)):
+                r = recs[slot]
+                self.hits.append(KWSHit(
+                    self.keywords[j],
+                    int(np.asarray(r["start"])[t, j]),
+                    int(np.asarray(r["end"])[t, j]),
+                    float(np.asarray(r["score"])[t, j]),
+                    new_estim=bool(np.asarray(r["new_estim"])[t, j])))
+        return self.hits[first:]
+
+    def finish(self) -> List[KWSHit]:
+        """Flush every outstanding candidate (StkInterface::Done): fetch
+        the carried state once and run the host flush per keyword."""
+        first = len(self.hits)
+        self.collect()
+        (_, cand_lr, cand_start, cand_end, prev_end,
+         dumped) = jax.device_get(self.state)
+        # mirror KWSTracker._flush (improve_kwd_estim not used on the
+        # device path's finish: candidates here are final)
+        for j in range(len(self.keywords)):
+            if cand_end[j] != 0 and not dumped[j]:
+                self.hits.append(KWSHit(self.keywords[j],
+                                        int(cand_start[j]),
+                                        int(cand_end[j]),
+                                        float(cand_lr[j])))
+        return self.hits[first:]
+
+
 def kws_candidates(word_vals: np.ndarray, filler: np.ndarray,
                    start_times: np.ndarray, keywords: Sequence[str],
                    time_pruning: float = 1e9,

@@ -45,7 +45,13 @@ class MultiStreamRecognizer:
     returns per-stream label lists."""
 
     def __init__(self, sr: SpeechRec, n_streams: int,
-                 block_frames: int = 128, auto_pump: bool = True):
+                 block_frames: int = 128, auto_pump: bool = True,
+                 mesh=None):
+        """``mesh``: an optional jax.sharding.Mesh with a 'data' axis —
+        streams shard across devices (the stream axis is the lane-minor
+        axis of every carried tensor, so XLA partitions the whole fused
+        program without collectives: each device serves its slice of the
+        streams).  n_streams must divide evenly by the axis size."""
         if sr.estimator is None:
             raise ValueError("streaming requires an enabled estimator")
         if sr.stk_decoder is not None:
@@ -76,10 +82,32 @@ class MultiStreamRecognizer:
         self._primed_host = np.zeros(n_streams, bool)
         self._flushed = False
 
-        self._mel_tail = jnp.zeros((n_streams, 2 * s, self.nbanks),
-                                   jnp.float32)
-        self._primed = jnp.zeros((n_streams,), bool)
-        self._carry = phnloop.init_carry(sr.loop_spec, n_streams)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if n_streams % mesh.shape["data"]:
+                raise ValueError("n_streams must divide the mesh's "
+                                 "'data' axis size")
+            # the stream axis shards wherever it appears; no collectives
+            # exist anywhere in the program (streams are independent)
+            self._sh_rows = NamedSharding(mesh, P("data"))
+            self._sh_tail = NamedSharding(mesh, P("data", None, None))
+            self._sh_carry = NamedSharding(mesh, P(None, None, "data"))
+            self._sh_audio = NamedSharding(mesh, P("data", None))
+        else:
+            self._sh_rows = self._sh_tail = None
+            self._sh_carry = self._sh_audio = None
+
+        def _put(x, sh):
+            return x if sh is None else jax.device_put(x, sh)
+
+        self._put = _put
+        self._mel_tail = _put(
+            jnp.zeros((n_streams, 2 * s, self.nbanks), jnp.float32),
+            self._sh_tail)
+        self._primed = _put(jnp.zeros((n_streams,), bool), self._sh_rows)
+        self._carry = _put(phnloop.init_carry(sr.loop_spec, n_streams),
+                           self._sh_carry)
         # history: (device History [T, N], valid [N] np) per dispatch
         self._hist: List = []
         self._res_cache: dict = {}
@@ -254,7 +282,8 @@ class MultiStreamRecognizer:
                 span[b, :take] = self._bufs[b][:take]
                 self._bufs[b] = self._bufs[b][int(v[b]) * self.step_len:]
         self._record(v, self._fused(
-            jnp.asarray(span), jnp.asarray(v, np.int32), self._mel_tail,
+            self._put(jnp.asarray(span), self._sh_audio),
+            jnp.asarray(v, np.int32), self._mel_tail,
             self._primed, self._carry,
             jnp.asarray(self._n_mel, np.int32),
             jnp.asarray(self._n_dec, np.int32)))
@@ -284,6 +313,12 @@ class MultiStreamRecognizer:
         self._n_mel += v
         self._n_dec += valid
         self._primed_host |= v > 0
+
+    def shard_audio(self, audio) -> "jnp.ndarray":
+        """Place an [N, L] sample buffer with the stream axis sharded
+        over the mesh (no-op without a mesh) — use before
+        decode_device_buffer / dispatch_from_device_buffer."""
+        return self._put(jnp.asarray(audio), self._sh_audio)
 
     # -- device-resident feeding (benchmark / production DMA path) -------
     def dispatch_block_device(self, span_dev) -> None:

@@ -160,10 +160,16 @@ class StreamingRecognizer:
             self._stk_horizon = max(4 * self._stk.time_pruning,
                                     4 * block_frames, 512)
             if self._stk.mode == "kws":
-                from phnrec_tpu.decoder.stknet import KWSTracker
-                self._kws_tracker = KWSTracker(
+                # LRTrace candidate state rides INSIDE the device scan
+                # (DeviceKWSTracker): no blocking per-block sink fetch
+                # through the link; flush events are collected lazily
+                from phnrec_tpu.decoder.stknet import DeviceKWSTracker
+                c = self._stk.compiled
+                self._kws_tracker = DeviceKWSTracker(
                     self._stk.keywords(), self._stk.time_pruning,
-                    self._stk.kws_score_pruning)
+                    self._stk.kws_score_pruning,
+                    word_sinks=c.kws_word_sinks,
+                    filler_sink=c.kws_filler_sink)
             # global <InputXform> with delay (stacking) nodes: carry the
             # delay lines across chunks (the per-frame UpdateStacks
             # semantics, Viterbi.cc:2068/Models.h:891-1028) so chunked
@@ -321,14 +327,10 @@ class StreamingRecognizer:
             self._stk_carry, obs_state, jnp.int32(self._n_decoded),
             jnp.int32(self._n_decoded + F), beam)
         if self._kws_tracker is not None:
-            # only the sink records cross to the host, per block
-            c = dec.compiled
-            ws = np.asarray(c.kws_word_sinks, np.int32)
-            sink_val = np.asarray(recs["sink_val"])
-            sink_wt = np.asarray(recs["sink_wt"])
-            self._kws_tracker.feed(sink_val[:, ws],
-                                   sink_val[:, c.kws_filler_sink],
-                                   sink_wt[:, ws])
+            # sink records stay on device: the tracker scan consumes
+            # them in HBM and the host fetches only flush events, later
+            self._kws_tracker.feed_sinks(recs["sink_val"],
+                                         recs["sink_wt"])
         else:
             self._stk_recs.append(recs)   # stays on device until pulled
             self._stk_commit()
@@ -448,8 +450,12 @@ class StreamingRecognizer:
         if self._kws_tracker is not None:
             # candidates flushed so far, in FLUSH order (the live callback
             # emission order — callers slice by count, so no sorting);
-            # results(False) == end-of-utterance: flush the rest
-            if not settled_only:
+            # results(False) == end-of-utterance: flush the rest.  The
+            # tracker state lives on device; collect() is the single
+            # fetch that materializes pending flush events.
+            if settled_only:
+                self._kws_tracker.collect()
+            else:
                 self._kws_tracker.finish()
             return [Label(h.start, h.end, h.word, h.score)
                     for h in self._kws_tracker.hits]
@@ -473,6 +479,7 @@ class StreamingRecognizer:
         callback stream (DECMSG_WORD per PutKWSCandidateToLabels)."""
         if self._kws_tracker is None:
             return []
+        self._kws_tracker.collect()
         new = self._kws_tracker.hits[self._kws_hits_emitted :]
         self._kws_hits_emitted = len(self._kws_tracker.hits)
         return [Label(h.start, h.end, h.word, h.score) for h in new]

@@ -122,3 +122,52 @@ def test_multistream_device_dispatch_path(sr_en, raw_bytes):
     want = _single_stream_labels(sr_en, raw_bytes, block)
     for i in range(n):
         assert _key(got[i]) == _key(want), f"stream {i} diverged"
+
+
+def test_multistream_mesh_sharded_equals_unsharded(sr_en, raw_bytes):
+    """Streams shard across an 8-device mesh (stream axis = 'data'); the
+    sharded recognizer must produce exactly the unsharded outputs —
+    multi-chip serving is N x D streams with zero collectives."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, axis_names=("data",))
+    streams = _streams(raw_bytes, 8)
+    want = MultiStreamRecognizer(sr_en, n_streams=8, block_frames=64)
+    got = MultiStreamRecognizer(sr_en, n_streams=8, block_frames=64,
+                                mesh=mesh)
+    for ms in (want, got):
+        for i, s in enumerate(streams):
+            ms.process(i, s)
+    got_l, want_l = got.finish(), want.finish()
+    for i in range(8):
+        assert _key(got_l[i]) == _key(want_l[i]), f"stream {i}"
+
+
+def test_multistream_mesh_device_buffer(sr_en, raw_bytes):
+    """The scanned device-buffer path under a mesh (shard_audio)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    n, block = 8, 64
+    spec = sr_en.frontend.spec
+    spb = block * spec.step
+    wave = np.frombuffer(raw_bytes, dtype="<i2")
+    L = wave.shape[0] - (wave.shape[0] - (spec.vector_size - spec.step)) \
+        % spb
+    n_blocks = (L - (spec.vector_size - spec.step)) // spb
+    audio = np.stack([np.roll(wave, -i * 1600)[:L] for i in range(n)])
+
+    ms = MultiStreamRecognizer(sr_en, n_streams=n, block_frames=block,
+                               mesh=mesh)
+    ms.decode_device_buffer(ms.shard_audio(audio), n_blocks)
+    got = ms.finish()
+
+    ref = MultiStreamRecognizer(sr_en, n_streams=n, block_frames=block)
+    ref.decode_device_buffer(jnp.asarray(audio), n_blocks)
+    want = ref.finish()
+    for i in range(n):
+        assert _key(got[i]) == _key(want[i]), f"stream {i}"

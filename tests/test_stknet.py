@@ -318,3 +318,67 @@ J=1 S=1 E=2 l=-0.25
     assert net4.nodes[1].is_sticky and net4.nodes[1].pron_var == 2
     assert net4.nodes[0].links[0][1] == -1.5
     assert net4.nodes[1].links[0][1] == -0.25
+
+
+def test_device_kws_tracker_matches_host():
+    """DeviceKWSTracker (LRTrace state carried in a device scan) must be
+    hit-for-hit identical to the host KWSTracker, including emission
+    order, the keyword-0 time-prune quirk, and the final flush."""
+    from phnrec_tpu.decoder.stknet import DeviceKWSTracker, KWSTracker
+
+    rng = np.random.default_rng(5)
+    T, K = 200, 3
+    filler = np.cumsum(rng.standard_normal(T)).astype(np.float32)
+    word_vals = filler[:, None] + rng.standard_normal((T, K)).astype(
+        np.float32) * 3.0
+    start_times = np.maximum(
+        0, np.arange(T)[:, None] - rng.integers(5, 40, (T, K))).astype(
+        np.int64)
+    word_vals[rng.random((T, K)) < 0.05] = -1e30
+    keywords = [f"kw{j}" for j in range(K)]
+
+    for tp in (40, 1e9):
+        host = KWSTracker(keywords, time_pruning=tp)
+        host.feed(word_vals, filler, start_times)
+        host.finish()
+
+        import jax.numpy as jnp
+        dev = DeviceKWSTracker(keywords, time_pruning=tp)
+        for s in range(0, T, 17):
+            dev.feed_device(jnp.asarray(word_vals[s : s + 17]),
+                            jnp.asarray(filler[s : s + 17]),
+                            jnp.asarray(start_times[s : s + 17]))
+        dev.finish()
+        assert [(h.word, h.start, h.end, round(h.score, 4), h.new_estim)
+                for h in dev.hits] == \
+            [(h.word, h.start, h.end, round(h.score, 4), h.new_estim)
+             for h in host.hits], f"tp={tp}"
+
+
+def test_device_kws_tracker_sink_columns():
+    """feed_sinks extracts word/filler columns inside the scan and must
+    equal feed_device on pre-sliced values."""
+    import jax.numpy as jnp
+
+    from phnrec_tpu.decoder.stknet import DeviceKWSTracker
+
+    rng = np.random.default_rng(8)
+    T, S = 90, 5
+    sink_val = rng.standard_normal((T, S)).astype(np.float32) * 4.0
+    sink_wt = rng.integers(0, 50, (T, S)).astype(np.int32)
+    ws, fs = [1, 3], 0
+    kw = ["a", "b"]
+    d1 = DeviceKWSTracker(kw, time_pruning=30, word_sinks=ws,
+                          filler_sink=fs)
+    for s in range(0, T, 13):
+        d1.feed_sinks(jnp.asarray(sink_val[s : s + 13]),
+                      jnp.asarray(sink_wt[s : s + 13]))
+    d1.finish()
+    d2 = DeviceKWSTracker(kw, time_pruning=30)
+    d2.feed_device(jnp.asarray(sink_val[:, ws]),
+                   jnp.asarray(sink_val[:, fs]),
+                   jnp.asarray(sink_wt[:, ws]))
+    d2.finish()
+    assert [(h.word, h.start, h.end, round(h.score, 4)) for h in d1.hits] \
+        == [(h.word, h.start, h.end, round(h.score, 4)) for h in d2.hits]
+    assert d1.hits, "expected at least one hit from random walks"

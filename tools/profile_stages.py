@@ -26,17 +26,27 @@ CZ_PKG = "/root/reference/PHN_CZ_SPDAT_LCRC_N1500"
 TEST_RAW = "/root/reference/test.raw"
 
 
-def timeit(name, fn, *args, iters=5):
+_scalar = None
+
+
+def timeit(name, fn, *args, iters=8):
+    """Time iters dispatches with ONE trailing scalar fetch: on this
+    backend block_until_ready returns before execution finishes, so
+    per-call sync timing under-reports by orders of magnitude; a scalar
+    read of the last output forces the whole dispatch stream."""
+    global _scalar
+    if _scalar is None:
+        _scalar = jax.jit(
+            lambda t: jax.tree_util.tree_leaves(t)[0].reshape(-1)[0]
+            .astype(jnp.float32))
     out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
+    float(_scalar(out))            # compile + settle
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    dt = sorted(ts)[len(ts) // 2]
-    print(f"{name:34s} {dt*1e3:9.2f} ms")
+    float(_scalar(out))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:34s} {dt*1e3:9.2f} ms", flush=True)
     return out
 
 
