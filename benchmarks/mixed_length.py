@@ -143,7 +143,11 @@ def _time_filelist(sr, corpus, tag: str, iters: int,
         times.append(time.perf_counter() - t0)
     gc.enable()
     golden_fn(f"/tmp/phnrec_mixed_{tag}_{iters - 1}.mlf")
-    return audio_s, sorted(times)[len(times) // 2]
+    # report the median; the caller also surfaces best-of — this metric
+    # is host->device-link-bound and the dev tunnel's bandwidth swings
+    # 2-4x between minutes (measured 1.2k..3.2k au-s/s across runs on
+    # identical code), so a single median can misrepresent the pipeline
+    return audio_s, sorted(times)[len(times) // 2], min(times)
 
 
 def run(n_utts: int = 1024, iters: int = 3) -> dict:
@@ -159,7 +163,8 @@ def run(n_utts: int = 1024, iters: int = 3) -> dict:
                for l in _mlf_labels(mlf_path, "utt_00000")]
         assert got == golden, "mixed-length decode lost golden"
 
-    audio_s, dt = _time_filelist(sr, corpus, "lin16", iters, check_lin16)
+    audio_s, dt, dt_best = _time_filelist(sr, corpus, "lin16", iters,
+                                          check_lin16)
     value = audio_s / dt
 
     # -- alaw corpus: half the link bytes -> ~2x through the tunnel
@@ -178,8 +183,8 @@ def run(n_utts: int = 1024, iters: int = 3) -> dict:
                for l in _mlf_labels(mlf_path, "utt_00000")]
         assert got == want_a, "alaw batched decode diverged from serial"
 
-    audio_a, dt_a = _time_filelist(sr_a, corpus_a, "alaw", iters,
-                                   check_alaw)
+    audio_a, dt_a, dt_a_best = _time_filelist(sr_a, corpus_a, "alaw",
+                                              iters, check_alaw)
     value_a = audio_a / dt_a
 
     from bench import BASELINE_AUDIO_SEC_PER_S
@@ -188,7 +193,9 @@ def run(n_utts: int = 1024, iters: int = 3) -> dict:
         "value": round(value, 2),
         "unit": "audio-seconds/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 2),
+        "value_best": round(audio_s / dt_best, 2),
         "alaw_value": round(value_a, 2),
+        "alaw_value_best": round(audio_a / dt_a_best, 2),
         "alaw_vs_lin16": round(value_a / value, 2),
     }
 

@@ -100,9 +100,13 @@ def _use_pallas_default() -> bool:
     * 2026-08-21, per-net head-to-head at 765k rows, Precision.HIGH:
       XLA with sublane (8) padding 24.3 ms; XLA with 128-padding 27.9 ms;
       Pallas kernel 27.2 ms at its best tile (512; tile 2048 exceeds the
-      16 MB VMEM budget).  The chain runs at ~60%+ of the chip's
-      3-pass-bf16 matmul roofline, so the remaining headroom is small and
-      XLA's ragged-dim layouts take it.
+      16 MB VMEM budget).
+    * 2026-08-21 (round 4), honest dispatch-stream timing: the FULL
+      3-net stage (74.3 ms at 765k rows) runs within 2% of the bare sum
+      of its six GEMMs (76.0 ms) — the chain is at its fused bound, and
+      the 1.78x gap to an ideal-shape GEMM of equal MACs is the model's
+      narrow dims (K=165/280, N=138), not implementation.  Full analysis
+      in docs/MLP_ROOFLINE.md.
 
     The kernel stays an opt-in (PHNREC_TPU_PALLAS_MLP=1 or
     use_pallas=True, weights padded to 128) and is covered by
