@@ -861,6 +861,105 @@ class KWSTracker:
         return self.hits[first:]
 
 
+def lrtrace_init_state(n_keywords: int):
+    """Zero state for the device LRTrace scan ([K] lanes)."""
+    K = n_keywords
+    return (jnp.full((K,), -jnp.inf, jnp.float32),   # last_lr
+            jnp.full((K,), -jnp.inf, jnp.float32),   # cand_lr
+            jnp.zeros((K,), jnp.int32),              # cand_start
+            jnp.zeros((K,), jnp.int32),              # cand_end
+            jnp.zeros((K,), jnp.int32),              # prev_end
+            jnp.zeros((K,), bool))                   # dumped
+
+
+def lrtrace_step_fn(time_pruning: float, score_pruning: float,
+                    improve_kwd_estim: bool = False,
+                    keyword0_time_quirk: bool = True):
+    """Pure per-frame LRTrace transition (stkinterface.cpp:240-289,
+    349-380) over [K] keyword lanes, shared by the single-stream
+    DeviceKWSTracker (scan over frames) and the multi-stream server
+    (vmapped over streams).  ``inputs`` = (word_vals [K], filler scalar,
+    word_starts [K], t scalar, live scalar) — a dead frame (live=False,
+    e.g. a padded row of a ragged multi-stream block) passes the state
+    through and emits nothing.  Emits two flush-event slots per frame
+    (new-hypothesis flush, then the time-pruning flush), in the
+    reference's callback order."""
+    tp = float(time_pruning)
+    sp = np.float32(score_pruning)
+    improve = bool(improve_kwd_estim)
+    quirk = bool(keyword0_time_quirk)
+
+    def flush(cand_lr, cand_start, cand_end, prev_end, dumped, cond):
+        improved = improve & (cand_end != prev_end) \
+            if improve else jnp.zeros_like(dumped)
+        do = cond & (cand_end != 0) & (~dumped | improved)
+        emit = do & (cand_lr >= sp)
+        rec = dict(emit=emit, start=cand_start, end=cand_end,
+                   score=cand_lr, new_estim=dumped)
+        prev_end = jnp.where(do, cand_end, prev_end)
+        dumped = jnp.where(do, True, dumped)
+        return rec, prev_end, dumped
+
+    def step(st, inputs):
+        old = st
+        last_lr, cand_lr, cand_start, cand_end, prev_end, dumped = st
+        wv, fl, ws, t, live = inputs
+        active = (wv > NEG / 2) & (fl > NEG / 2)
+        lr = jnp.where(active, wv - fl, -jnp.inf)
+        growing = active & (lr >= last_lr)
+        new_hyp = growing & (cand_end <= ws)
+        take = growing & ((lr >= cand_lr) | new_hyp)
+        ev1 = new_hyp & take
+        rec1, prev_end, dumped = flush(
+            cand_lr, cand_start, cand_end, prev_end, dumped, ev1)
+        dumped = jnp.where(ev1, False, dumped)
+        cand_start = jnp.where(take, ws, cand_start)
+        cand_end = jnp.where(take, t + 1, cand_end)
+        cand_lr = jnp.where(take, lr, cand_lr)
+        last_lr = jnp.where(active, lr, -jnp.inf)
+        if tp < 1e9:
+            # the reference tests KEYWORD 0's candidate age for every
+            # keyword (stkinterface.cpp:285-288, kept by default)
+            ref_end = (jnp.broadcast_to(cand_end[0], cand_end.shape)
+                       if quirk else cand_end)
+            stale = active & (ref_end != 0) & \
+                ((t + 1) - ref_end >= jnp.int32(int(tp)))
+            rec2, prev_end, dumped = flush(
+                cand_lr, cand_start, cand_end, prev_end, dumped, stale)
+        else:
+            rec2 = jax.tree_util.tree_map(jnp.zeros_like, rec1)
+        new = (last_lr, cand_lr, cand_start, cand_end, prev_end, dumped)
+        st = jax.tree_util.tree_map(
+            lambda n_, o_: jnp.where(live, n_, o_), new, old)
+        rec1 = dict(rec1, emit=rec1["emit"] & live)
+        rec2 = dict(rec2, emit=rec2["emit"] & live)
+        return st, (rec1, rec2)
+
+    return step
+
+
+def decode_lrtrace_events(events_np, keywords) -> List[KWSHit]:
+    """Host decode of fetched flush-event records for ONE stream:
+    (rec1, rec2) dicts of [F, K] arrays -> hits in the reference's
+    callback order (frame-major, new-hyp slot before time-prune slot)."""
+    rec1, rec2 = events_np
+    emit = np.stack([np.asarray(rec1["emit"]),
+                     np.asarray(rec2["emit"])], axis=1)     # [F, 2, K]
+    hits: List[KWSHit] = []
+    if not emit.any():
+        return hits
+    recs = [rec1, rec2]
+    for t, slot, j in zip(*np.nonzero(emit)):
+        r = recs[slot]
+        hits.append(KWSHit(
+            keywords[j],
+            int(np.asarray(r["start"])[t, j]),
+            int(np.asarray(r["end"])[t, j]),
+            float(np.asarray(r["score"])[t, j]),
+            new_estim=bool(np.asarray(r["new_estim"])[t, j])))
+    return hits
+
+
 class DeviceKWSTracker:
     """LRTrace candidate tracking carried ON DEVICE (the state machine of
     stkinterface.cpp:240-289/349-380, same semantics as KWSTracker, as a
@@ -895,67 +994,16 @@ class DeviceKWSTracker:
         self._ws = (None if word_sinks is None
                     else jnp.asarray(np.asarray(word_sinks, np.int32)))
         self._fs = filler_sink
-        self.state = (jnp.full((K,), -jnp.inf, jnp.float32),   # last_lr
-                      jnp.full((K,), -jnp.inf, jnp.float32),   # cand_lr
-                      jnp.zeros((K,), jnp.int32),              # cand_start
-                      jnp.zeros((K,), jnp.int32),              # cand_end
-                      jnp.zeros((K,), jnp.int32),              # prev_end
-                      jnp.zeros((K,), bool))                   # dumped
-        tp = float(time_pruning)
-        sp = np.float32(score_pruning)
-        improve = bool(improve_kwd_estim)
-        quirk = bool(keyword0_time_quirk)
-
-        def flush(cand_lr, cand_start, cand_end, prev_end, dumped, cond):
-            """PutKWSCandidateToLabels under a lane mask: returns the
-            event record + updated (prev_end, dumped)."""
-            improved = improve & (cand_end != prev_end) \
-                if improve else jnp.zeros_like(dumped)
-            do = cond & (cand_end != 0) & (~dumped | improved)
-            emit = do & (cand_lr >= sp)
-            rec = dict(emit=emit, start=cand_start, end=cand_end,
-                       score=cand_lr, new_estim=dumped)
-            prev_end = jnp.where(do, cand_end, prev_end)
-            dumped = jnp.where(do, True, dumped)
-            return rec, prev_end, dumped
-
-        def step(st, inputs):
-            last_lr, cand_lr, cand_start, cand_end, prev_end, dumped = st
-            wv, fl, ws, t = inputs
-            active = (wv > NEG / 2) & (fl > NEG / 2)
-            lr = jnp.where(active, wv - fl, -jnp.inf)
-            growing = active & (lr >= last_lr)
-            new_hyp = growing & (cand_end <= ws)
-            take = growing & ((lr >= cand_lr) | new_hyp)
-            ev1 = new_hyp & take
-            rec1, prev_end, dumped = flush(
-                cand_lr, cand_start, cand_end, prev_end, dumped, ev1)
-            dumped = jnp.where(ev1, False, dumped)
-            cand_start = jnp.where(take, ws, cand_start)
-            cand_end = jnp.where(take, t + 1, cand_end)
-            cand_lr = jnp.where(take, lr, cand_lr)
-            last_lr = jnp.where(active, lr, -jnp.inf)
-            if tp < 1e9:
-                # the reference tests KEYWORD 0's candidate age for every
-                # keyword (stkinterface.cpp:285-288, kept by default)
-                ref_end = (jnp.broadcast_to(cand_end[0], cand_end.shape)
-                           if quirk else cand_end)
-                stale = active & (ref_end != 0) & \
-                    ((t + 1) - ref_end >= jnp.int32(int(tp)))
-                rec2, prev_end, dumped = flush(
-                    cand_lr, cand_start, cand_end, prev_end, dumped,
-                    stale)
-            else:
-                rec2 = jax.tree_util.tree_map(jnp.zeros_like, rec1)
-            st = (last_lr, cand_lr, cand_start, cand_end, prev_end,
-                  dumped)
-            return st, (rec1, rec2)
+        self.state = lrtrace_init_state(K)
+        step = lrtrace_step_fn(time_pruning, score_pruning,
+                               improve_kwd_estim, keyword0_time_quirk)
 
         @jax.jit
         def scan(st, wv, fl, ws, t0):
             F = wv.shape[0]
             tt = jnp.int32(t0) + jnp.arange(F, dtype=jnp.int32)
-            return jax.lax.scan(step, st, (wv, fl, ws, tt))
+            live = jnp.ones((F,), bool)
+            return jax.lax.scan(step, st, (wv, fl, ws, tt, live))
 
         self._scan = scan
         ws_idx, fs_idx = self._ws, self._fs
@@ -967,7 +1015,8 @@ class DeviceKWSTracker:
             ws = sink_wt[:, ws_idx].astype(jnp.int32)
             F = wv.shape[0]
             tt = jnp.int32(t0) + jnp.arange(F, dtype=jnp.int32)
-            return jax.lax.scan(step, st, (wv, fl, ws, tt))
+            live = jnp.ones((F,), bool)
+            return jax.lax.scan(step, st, (wv, fl, ws, tt, live))
 
         self._scan_sinks = scan_sinks if ws_idx is not None else None
 
@@ -997,20 +1046,8 @@ class DeviceKWSTracker:
         fetched = jax.device_get(self._pending)
         self._pending = []
         first = len(self.hits)
-        for rec1, rec2 in fetched:
-            emit = np.stack([np.asarray(rec1["emit"]),
-                             np.asarray(rec2["emit"])], axis=1)  # [F,2,K]
-            if not emit.any():
-                continue
-            recs = [rec1, rec2]
-            for t, slot, j in zip(*np.nonzero(emit)):
-                r = recs[slot]
-                self.hits.append(KWSHit(
-                    self.keywords[j],
-                    int(np.asarray(r["start"])[t, j]),
-                    int(np.asarray(r["end"])[t, j]),
-                    float(np.asarray(r["score"])[t, j]),
-                    new_estim=bool(np.asarray(r["new_estim"])[t, j])))
+        for events in fetched:
+            self.hits.extend(decode_lrtrace_events(events, self.keywords))
         return self.hits[first:]
 
     def finish(self) -> List[KWSHit]:

@@ -54,10 +54,7 @@ class MultiStreamRecognizer:
         streams).  n_streams must divide evenly by the axis size."""
         if sr.estimator is None:
             raise ValueError("streaming requires an enabled estimator")
-        if sr.stk_decoder is not None:
-            raise ValueError("multi-stream serving supports the phnloop "
-                             "decoder (stkint streams: one recognizer per "
-                             "stream)")
+        self._check_decoder(sr)
         self.online_norm = normalization.OnlineNorm.from_config(
             sr.cfg, sr.frontend.spec.nbanks)
         if self.online_norm.enabled:
@@ -92,7 +89,7 @@ class MultiStreamRecognizer:
             # exist anywhere in the program (streams are independent)
             self._sh_rows = NamedSharding(mesh, P("data"))
             self._sh_tail = NamedSharding(mesh, P("data", None, None))
-            self._sh_carry = NamedSharding(mesh, P(None, None, "data"))
+            self._sh_carry = self._carry_sharding(mesh)
             self._sh_audio = NamedSharding(mesh, P("data", None))
         else:
             self._sh_rows = self._sh_tail = None
@@ -106,8 +103,7 @@ class MultiStreamRecognizer:
             jnp.zeros((n_streams, 2 * s, self.nbanks), jnp.float32),
             self._sh_tail)
         self._primed = _put(jnp.zeros((n_streams,), bool), self._sh_rows)
-        self._carry = _put(phnloop.init_carry(sr.loop_spec, n_streams),
-                           self._sh_carry)
+        self._carry = _put(self._init_decode_carry(), self._sh_carry)
         # history: (device History [T, N], valid [N] np) per dispatch
         self._hist: List = []
         self._res_cache: dict = {}
@@ -135,14 +131,13 @@ class MultiStreamRecognizer:
         def _decode_ctx(ctx, skip, carry, n_dec, n_valid, cap):
             """Shared tail of both fused programs: posterior rows from the
             per-stream context, rolled so each row's valid frames lead,
-            then the masked Viterbi block."""
+            then the subclass-selected masked decoder block."""
             lp = jax.vmap(post_fn)(ctx)                 # [N, cap, n_out]
             idx = jnp.clip(skip[:, None] + jnp.arange(cap)[None, :],
                            0, cap - 1)
             lp = jnp.take_along_axis(lp, idx[:, :, None], axis=1)
-            return phnloop.viterbi_block_ragged(
-                loop_spec, carry, lp, n_dec.astype(jnp.int32),
-                n_valid.astype(jnp.int32))
+            return self._decode_block(carry, lp, n_dec.astype(jnp.int32),
+                                      n_valid.astype(jnp.int32))
 
         def _fused_impl(span, v, mel_tail, primed, carry, n_mel, n_dec):
             """One multi-stream block: span [N, samples] with v[b] valid
@@ -212,20 +207,9 @@ class MultiStreamRecognizer:
                    n_dec.astype(jnp.int32))
             K = k_arr.shape[0]
             st, hists = jax.lax.scan(body, st0, k_arr)
-            # compact: rows were rolled valid-first per block, and only
-            # the first block of a fresh stream skips (delay gate), so
-            # the garbage gap sits at the end of block 0's section.
             skip0 = jnp.clip(jnp.int32(s) - n_mel.astype(jnp.int32),
                              0, self.block)           # [N]
-            TT = K * self.block
-            j = jnp.arange(TT, dtype=jnp.int32)[:, None]
-            idx = jnp.clip(
-                j + jnp.where(j >= self.block - skip0[None, :],
-                              skip0[None, :], 0), 0, TT - 1)
-            hist = phnloop.History(*(
-                jnp.take_along_axis(a.reshape(TT, N), idx, axis=0)
-                for a in hists))
-            return st, hist
+            return st, self._compact_scan(hists, skip0, K, N)
 
         self._scan_buffer = _scan_buffer
 
@@ -242,6 +226,42 @@ class MultiStreamRecognizer:
         self._fused = _fused
         self._fused_from_buffer = _fused_from_buffer
         self._fused_flush = _fused_flush
+
+    # -- decoder hooks (overridden by MultiStreamKWS) --------------------
+    def _check_decoder(self, sr: SpeechRec) -> None:
+        if sr.stk_decoder is not None:
+            raise ValueError(
+                "MultiStreamRecognizer serves the phnloop decoder; for "
+                "stkint KWS packages use MultiStreamKWS (stkint "
+                "decode-mode streams: one StreamingRecognizer per "
+                "stream, or the offline decode_batch)")
+
+    def _init_decode_carry(self):
+        return phnloop.init_carry(self.sr.loop_spec, self.n)
+
+    def _carry_sharding(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(mesh, P(None, None, "data"))
+
+    def _decode_block(self, carry, lp, n_dec, n_valid):
+        """(decode carry, rolled log-posteriors [N, F, D], per-row global
+        frame offsets, per-row valid counts) -> (carry', block output)."""
+        return phnloop.viterbi_block_ragged(self.sr.loop_spec, carry, lp,
+                                            n_dec, n_valid)
+
+    def _compact_scan(self, hists, skip0, K: int, N: int):
+        """Merge a scanned stack of block outputs into one entry.  For
+        History: rows were rolled valid-first per block and only the
+        first block of a fresh stream skips (delay gate), so one static
+        gather removes the gap at the end of block 0's section."""
+        TT = K * self.block
+        j = jnp.arange(TT, dtype=jnp.int32)[:, None]
+        idx = jnp.clip(
+            j + jnp.where(j >= self.block - skip0[None, :],
+                          skip0[None, :], 0), 0, TT - 1)
+        return phnloop.History(*(
+            jnp.take_along_axis(a.reshape(TT, N), idx, axis=0)
+            for a in hists))
 
     # -- feeding ---------------------------------------------------------
     def process(self, i: int, raw: bytes) -> None:
@@ -451,3 +471,145 @@ class MultiStreamRecognizer:
                 *(np.concatenate([c[j] for c in cols]) for j in range(3)))
             out.append(phnloop.backtrack(hist, self.sr.phonemes))
         return out
+
+
+class MultiStreamKWS(MultiStreamRecognizer):
+    """N concurrent LIVE KEYWORD-SPOTTING streams per chip: the full
+    stkint KWS chain — posterior stack, dense-network Viterbi
+    (NetworkDecoder.scan_block) and the LRTrace candidate state machine
+    — batched over streams inside the same fused block dispatches as the
+    phnloop server.  Per-stream hits are identical to a single-stream
+    StreamingRecognizer in KWS mode (tests/test_multistream_kws.py).
+
+    The per-stream carry is (network token state [N, ...], LRTrace state
+    [N, K]); flush events accumulate on device and are decoded on the
+    host at results()/finish().  Model sets with a global <InputXform>
+    are not supported on this path (no shipped KWS package has one)."""
+
+    def __init__(self, sr: SpeechRec, n_streams: int,
+                 block_frames: int = 128, auto_pump: bool = True,
+                 mesh=None):
+        dec = sr.stk_decoder
+        if dec is None or dec.mode != "kws":
+            raise ValueError("MultiStreamKWS needs an stkint package "
+                             "with decoder/mode=kws")
+        if dec.model_set.input_xform is not None:
+            raise NotImplementedError(
+                "multi-stream KWS does not carry InputXform delay lines")
+        from phnrec_tpu.decoder.stknet import (OFF_BEAM, lrtrace_step_fn)
+        self._dec = dec
+        self._keywords = dec.keywords()
+        c = dec.compiled
+        self._kws_ws = jnp.asarray(np.asarray(c.kws_word_sinks, np.int32))
+        self._kws_fs = c.kws_filler_sink
+        self._beam = jnp.float32(OFF_BEAM if dec.beam_pruning is None
+                                 else dec.beam_pruning)
+        self._trk_step = lrtrace_step_fn(dec.time_pruning,
+                                         dec.kws_score_pruning)
+        self._hits_emitted = [0] * n_streams
+        self._final_hits = None
+        self._hits_cache = [[] for _ in range(n_streams)]
+        self._blocks_decoded = 0
+        super().__init__(sr, n_streams, block_frames=block_frames,
+                         auto_pump=auto_pump, mesh=mesh)
+
+    # -- decoder hooks ---------------------------------------------------
+    def _check_decoder(self, sr: SpeechRec) -> None:
+        pass                                   # validated in __init__
+
+    def _init_decode_carry(self):
+        from phnrec_tpu.decoder.stknet import lrtrace_init_state
+        stk0 = self._dec.decoder.init_carry()
+        stk = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim), stk0)
+        trk = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim),
+            lrtrace_init_state(len(self._keywords)))
+        return (stk, trk)
+
+    def _carry_sharding(self, mesh):
+        # every carry leaf has the stream axis LEADING
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(mesh, P("data"))
+
+    def _decode_block(self, carry, lp, n_dec, n_valid):
+        stk_c, trk = carry
+        dec = self._dec.decoder
+        obs_state = jax.vmap(dec.state_observations)(lp)   # [N, F, E]
+
+        def net_one(c, o, t0, nv):
+            # scan_block's n_valid is the ABSOLUTE frame bound
+            return dec.scan_block(c, o, t0, t0 + nv, self._beam)
+
+        stk_c, recs = jax.vmap(net_one)(stk_c, obs_state, n_dec, n_valid)
+        sink_val, sink_wt = recs["sink_val"], recs["sink_wt"]
+        ws, fs = self._kws_ws, self._kws_fs
+        step = self._trk_step
+
+        def trk_one(st, sv, sw, t0, nv):
+            F = sv.shape[0]
+            tt = t0 + jnp.arange(F, dtype=jnp.int32)
+            live = jnp.arange(F) < nv
+            return jax.lax.scan(
+                step, st,
+                (sv[:, ws], sv[:, fs], sw[:, ws].astype(jnp.int32),
+                 tt, live))
+
+        trk, events = jax.vmap(trk_one)(trk, sink_val, sink_wt,
+                                        n_dec, n_valid)
+        return (stk_c, trk), events
+
+    def _compact_scan(self, hists, skip0, K: int, N: int):
+        # flush events need no gather (dead frames emit nothing); merge
+        # the scanned block axis into the frame axis: [K, N, F, Kw] ->
+        # [N, K*F, Kw]
+        return jax.tree_util.tree_map(
+            lambda a: jnp.transpose(a, (1, 0, 2, 3)).reshape(
+                N, -1, a.shape[3]), hists)
+
+    # -- results ---------------------------------------------------------
+    def results(self) -> List[List[Label]]:
+        """Per-stream KWS hits flushed so far (live callback stream); at
+        finish() the outstanding candidates are force-flushed too."""
+        from phnrec_tpu.decoder.stknet import KWSHit, decode_lrtrace_events
+
+        new = self._hist[self._blocks_decoded:]
+        if new:
+            # ONE batched fetch of only the not-yet-decoded event blocks
+            fetched = jax.device_get([h for h, _ in new])
+            self._blocks_decoded = len(self._hist)
+            for rec1, rec2 in fetched:
+                for b in range(self.n):
+                    self._hits_cache[b].extend(decode_lrtrace_events(
+                        (jax.tree_util.tree_map(lambda a: a[b], rec1),
+                         jax.tree_util.tree_map(lambda a: a[b], rec2)),
+                        self._keywords))
+        hits: List[List[KWSHit]] = [list(hb) for hb in self._hits_cache]
+        if self._flushed:
+            if self._final_hits is None:
+                # StkInterface::Done: flush outstanding candidates from
+                # the final tracker state, per stream in keyword order
+                (_, cand_lr, cand_start, cand_end, _, dumped) = \
+                    jax.device_get(self._carry[1])
+                self._final_hits = []
+                for b in range(self.n):
+                    fin = []
+                    for j in range(len(self._keywords)):
+                        if cand_end[b, j] != 0 and not dumped[b, j]:
+                            fin.append(KWSHit(self._keywords[j],
+                                              int(cand_start[b, j]),
+                                              int(cand_end[b, j]),
+                                              float(cand_lr[b, j])))
+                    self._final_hits.append(fin)
+            for b in range(self.n):
+                hits[b].extend(self._final_hits[b])
+        return [[Label(h.start, h.end, h.word, h.score) for h in hb]
+                for hb in hits]
+
+    def hits_so_far(self, i: int) -> List[Label]:
+        """Newly flushed hits for stream ``i`` since the last call — the
+        per-stream live callback (DECMSG_WORD emission)."""
+        labels = self.results()[i]
+        new = labels[self._hits_emitted[i]:]
+        self._hits_emitted[i] = len(labels)
+        return new
