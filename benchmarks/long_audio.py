@@ -53,16 +53,48 @@ def synth_audio(seconds: float, rate: int, seed: int = 0) -> bytes:
     return out.astype("<i2").tobytes()
 
 
+def _build_kws_package(root: str) -> str:
+    """EN-based stkint KWS package (keywords greasy/wash), idempotent —
+    the multi-stream KWS serving benchmark's model set."""
+    src = "/root/reference/PHN_EN_TIMIT_LCRC_N500"
+    import re
+    pkg = os.path.join(root, "pkg_kws")
+    if os.path.isdir(pkg):
+        return pkg
+    os.makedirs(pkg)
+    for entry in os.listdir(src):
+        if entry != "config":
+            os.symlink(os.path.join(src, entry), os.path.join(pkg, entry))
+    kws = os.path.join(root, "kwlist")
+    lex = os.path.join(root, "kwlex")
+    with open(kws, "w") as f:
+        f.write("greasy\nwash\n")
+    with open(lex, "w") as f:
+        f.write("greasy\tg r iy s iy\nwash\tw aa sh\n")
+    cfg = open(os.path.join(src, "config")).read()
+    cfg = re.sub(r"(?m)^type=(phndec|phnrec_dec)$", "type=stkint", cfg)
+    cfg += ("\n[decoder]\nmode=kws\n"
+            "[networks]\ngen_kws_net=true\ndefault=$T/kwsnet\n"
+            f"[dicts]\nkeyword_list={kws}\nlexicon1={lex}\n")
+    with open(os.path.join(pkg, "config"), "w") as f:
+        f.write(cfg)
+    return pkg
+
+
 def run_multistream(n_streams: int, minutes_per_stream: float,
-                    pkg: str = CZ_PKG, block: int = 512) -> dict:
+                    pkg: str = CZ_PKG, block: int = 512,
+                    kws: bool = False) -> dict:
     """N concurrent streams, pre-staged HBM audio, one fused dispatch per
     block; timed over the steady-state dispatch loop + finish."""
     import jax
     import jax.numpy as jnp
 
-    from phnrec_tpu.multistream import MultiStreamRecognizer
+    from phnrec_tpu.multistream import (MultiStreamKWS,
+                                        MultiStreamRecognizer)
     from phnrec_tpu.pipeline import SpeechRec
 
+    if kws:
+        pkg = _build_kws_package("/tmp/phnrec_kws_bench")
     sr = SpeechRec(pkg)
     rate = sr.cfg.get_int("source", "sample_freq")
     spec = sr.frontend.spec
@@ -80,10 +112,10 @@ def run_multistream(n_streams: int, minutes_per_stream: float,
     n_blocks = (L - (spec.vector_size - spec.step)) // spb
 
     dev = jax.device_put(jnp.asarray(audio))   # pre-staged once, untimed
+    cls = MultiStreamKWS if kws else MultiStreamRecognizer
 
     def one_pass():
-        ms = MultiStreamRecognizer(sr, n_streams=n_streams,
-                                   block_frames=block)
+        ms = cls(sr, n_streams=n_streams, block_frames=block)
         ms.decode_device_buffer(dev, n_blocks)
         return ms.finish()
 
@@ -93,7 +125,8 @@ def run_multistream(n_streams: int, minutes_per_stream: float,
     dt = time.perf_counter() - t0
     total_audio = n_streams * L / rate
     return {
-        "metric": "multistream_streaming_audio_sec_per_s",
+        "metric": ("multistream_kws_audio_sec_per_s" if kws else
+                   "multistream_streaming_audio_sec_per_s"),
         "streams": n_streams,
         "minutes_per_stream": minutes_per_stream,
         "block_frames": block,
@@ -105,6 +138,7 @@ def run_multistream(n_streams: int, minutes_per_stream: float,
 
 def main() -> None:
     streams = 0
+    kws = "--kws" in sys.argv
     skip = set()
     for i, a in enumerate(sys.argv):
         if a == "--streams":
@@ -119,7 +153,8 @@ def main() -> None:
         minutes = float(args[0]) if args else 10.0
         pkg = args[1] if len(args) > 1 else CZ_PKG
         block = int(os.environ.get("LONG_AUDIO_BLOCK", "512"))
-        print(json.dumps(run_multistream(streams, minutes, pkg, block)))
+        print(json.dumps(run_multistream(streams, minutes, pkg, block,
+                                         kws=kws)))
         return
     hours = float(args[0]) if args else 1.0
     pkg = args[1] if len(args) > 1 else CZ_PKG

@@ -28,7 +28,8 @@ def main() -> None:
         sys.exit(1)
     pkg, paths = args[0], args[1:]
 
-    from phnrec_tpu.multistream import MultiStreamRecognizer
+    from phnrec_tpu.multistream import (MultiStreamKWS,
+                                        MultiStreamRecognizer)
     from phnrec_tpu.pipeline import SpeechRec
     from phnrec_tpu.io.labels import format_rec_line
 
@@ -46,7 +47,11 @@ def main() -> None:
         print(f"# sharding {len(paths)} streams over {n_dev} devices")
 
     sr = SpeechRec(pkg)
-    ms = MultiStreamRecognizer(sr, n_streams=len(paths), mesh=mesh)
+    # KWS packages (decoder/type=stkint + mode=kws) get the multi-stream
+    # keyword-spotting server; everything else the phoneme server
+    kws = sr.stk_decoder is not None and sr.stk_decoder.mode == "kws"
+    cls = MultiStreamKWS if kws else MultiStreamRecognizer
+    ms = cls(sr, n_streams=len(paths), mesh=mesh)
     chunk = 64 * 1024
     offsets = [0] * len(paths)
     data = [open(p, "rb").read() for p in paths]

@@ -105,3 +105,22 @@ def test_offline_batch_streaming_agree(pkg, wave_bytes):
         rec.process(wave_bytes[s : s + 3001])
     got = rec.finish()
     assert [(l.start_frames, l.end_frames, l.name) for l in got] == key
+
+
+def test_multistream_on_1bt_package(pkg, wave_bytes):
+    """The multi-stream server works for non-LCRC trap systems too (the
+    generic trap block fn feeds the same fused dispatch)."""
+    from phnrec_tpu.multistream import MultiStreamRecognizer
+    from phnrec_tpu.pipeline import SpeechRec
+
+    sr = SpeechRec(pkg)
+    offline = sr.process_offline("wf", "str", wave_bytes).labels
+    key = [(l.start_frames, l.end_frames, l.name) for l in offline]
+
+    ms = MultiStreamRecognizer(sr, n_streams=3, block_frames=64)
+    for i in range(3):
+        ms.process(i, wave_bytes)
+    got = ms.finish()
+    for i in range(3):
+        assert [(l.start_frames, l.end_frames, l.name)
+                for l in got[i]] == key, f"stream {i}"
