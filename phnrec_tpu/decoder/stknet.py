@@ -162,10 +162,17 @@ def compile_network(net: StkNetwork, models: ModelSet, wpenalty: float,
     # memoization and parent backpointers — O(V*E) worst case instead of
     # path enumeration (exponential on diamond null lattices, recursion-
     # depth-bound on deep chains).  Zero/negative-score cycles through
-    # null nodes converge (relaxation is strict-improvement only, so ties
-    # keep the FIRST-reached path, STK's document-order first-wins);
+    # null nodes converge (relaxation is strict-improvement only);
     # positive cycles would let a token gain score within one frame and
     # raise, as STK would loop.
+    #
+    # Tie policy: among EQUAL-score instantaneous paths between the same
+    # (source, target), the first-reached path in seed/BFS order wins.
+    # This matches STK's strictly-greater token passing in spirit but is
+    # not guaranteed to pick the same WORD SEQUENCE as STK's exact
+    # active-list order for pathological networks where two equal-score
+    # null paths carry different words (no generated phnrec network has
+    # such ties; the oracle suites pin the real networks' behavior).
     closure: List[ClosureEdge] = []
 
     tee_weight: Dict[int, float] = {}
@@ -375,9 +382,17 @@ class NetworkDecoder:
         groups = []
         for shape, idxs in by_shape.items():
             gs = [self.c.gmm_states[i] for i in idxs]
+            means = np.stack([g.means for g in gs])        # [G, M, D]
+            # center observations and means by the group's mean-of-means:
+            # the quadratic form is shift-invariant, and removing the
+            # common offset keeps the expanded o2-2om+mm evaluation from
+            # cancelling away f32 precision when features carry a large
+            # DC component (e.g. un-normalized log energies)
+            center = means.mean(axis=(0, 1))               # [D]
             groups.append((
                 np.asarray(idxs, np.int64),
-                jnp.asarray(np.stack([g.means for g in gs])),
+                jnp.asarray(center.astype(np.float32)),
+                jnp.asarray((means - center).astype(np.float32)),
                 jnp.asarray(1.0 / np.stack([g.variances for g in gs])),
                 jnp.asarray(np.log(np.stack([g.weights for g in gs]))
                             - 0.5 * np.stack([g.gconsts for g in gs])),
@@ -400,12 +415,15 @@ class NetworkDecoder:
         n_gmm = len(c.gmm_states)
         parts = []
         rows = []
-        for idxs, means, inv_var, logw_half in self._gmm_groups():
+        for idxs, center, means, inv_var, logw_half in self._gmm_groups():
             # q[t,g,m] = sum_d (obs[t,d]-mu[g,m,d])^2 / var[g,m,d]
             #   expanded: obs^2 . iv  -  2 obs . (mu iv)  +  sum mu^2 iv
-            o2 = jnp.einsum("td,gmd->tgm", obs * obs, inv_var,
+            # (obs and mu are pre-centered by the group mean — see
+            # _gmm_groups — so the expansion keeps f32 precision)
+            oc = obs - center[None, :]
+            o2 = jnp.einsum("td,gmd->tgm", oc * oc, inv_var,
                             precision=jax.lax.Precision.HIGHEST)
-            om = jnp.einsum("td,gmd->tgm", obs, means * inv_var,
+            om = jnp.einsum("td,gmd->tgm", oc, means * inv_var,
                             precision=jax.lax.Precision.HIGHEST)
             mm = jnp.sum(means * means * inv_var, axis=-1)   # [G, M]
             comp = logw_half[None] - 0.5 * (o2 - 2.0 * om + mm[None])
@@ -994,6 +1012,8 @@ class DeviceKWSTracker:
         self._ws = (None if word_sinks is None
                     else jnp.asarray(np.asarray(word_sinks, np.int32)))
         self._fs = filler_sink
+        self.score_pruning = float(score_pruning)
+        self._finished = False
         self.state = lrtrace_init_state(K)
         step = lrtrace_step_fn(time_pruning, score_pruning,
                                improve_kwd_estim, keyword0_time_quirk)
@@ -1052,15 +1072,22 @@ class DeviceKWSTracker:
 
     def finish(self) -> List[KWSHit]:
         """Flush every outstanding candidate (StkInterface::Done): fetch
-        the carried state once and run the host flush per keyword."""
+        the carried state once and run the host flush per keyword.
+        Idempotent, like the host tracker whose _flush marks candidates
+        dumped: a second finish() adds nothing."""
         first = len(self.hits)
         self.collect()
+        if self._finished:
+            return self.hits[first:]
+        self._finished = True
         (_, cand_lr, cand_start, cand_end, prev_end,
          dumped) = jax.device_get(self.state)
         # mirror KWSTracker._flush (improve_kwd_estim not used on the
-        # device path's finish: candidates here are final)
+        # device path's finish: candidates here are final), including
+        # the kwsScorePruning floor on emission
         for j in range(len(self.keywords)):
-            if cand_end[j] != 0 and not dumped[j]:
+            if cand_end[j] != 0 and not dumped[j] \
+                    and cand_lr[j] >= self.score_pruning:
                 self.hits.append(KWSHit(self.keywords[j],
                                         int(cand_start[j]),
                                         int(cand_end[j]),

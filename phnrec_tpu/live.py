@@ -139,28 +139,42 @@ def run_live(sr: SpeechRec, out_format: str = "str",
     thr = None
     if sr.stk_decoder is not None and sr.stk_decoder.mode == "kws":
         thr = sr.stk_decoder.keyword_thresholds
-    # Emission tracking by label identity, not count: the full-traceback
-    # settled list can retroactively rewrite an early label when the
-    # global best path shifts (the reference cannot — it force-commits at
-    # the fixed lag), so count-slicing could emit a misaligned stream.
-    # A label is emitted once, only if it advances the emission frontier;
-    # an already-printed region is never re-emitted or retracted.
+    # Emission tracking.  Decode mode: by label identity + a monotone
+    # frontier — the full-traceback settled list can retroactively
+    # rewrite an early label when the global best path shifts (the
+    # reference cannot — it force-commits at the fixed lag), so
+    # count-slicing could emit a misaligned stream; a label is emitted
+    # once, only if it advances the frontier, and a printed region is
+    # never re-emitted or retracted.  KWS mode: hits arrive in FLUSH
+    # order, which is NOT end-time order (per-keyword candidates flush
+    # independently), and the tracker's hit list is append-only — so
+    # count-slicing is exact there and a frontier would drop hits.
+    kws_mode = sr.stk_decoder is not None and sr.stk_decoder.mode == "kws"
     emitted_keys: set = set()
     frontier = 0
+    emitted_count = 0
+
+    def emit_one(lab) -> None:
+        # the threshold filter applies to EVERY live emission,
+        # including the Done-time flush (phnrec.cpp:81-83)
+        if thr is not None and lab.score < thr.get(lab.name):
+            return
+        emit(format_live(lab, out_format))
 
     def emit_new(labels) -> None:
-        nonlocal frontier
+        nonlocal frontier, emitted_count
+        if kws_mode:
+            for lab in labels[emitted_count:]:
+                emit_one(lab)
+            emitted_count = len(labels)
+            return
         for lab in labels:
             key = (lab.start_frames, lab.end_frames, lab.name)
             if key in emitted_keys or lab.end_frames <= frontier:
                 continue
             emitted_keys.add(key)
             frontier = lab.end_frames
-            # the threshold filter applies to EVERY live emission,
-            # including the Done-time flush (phnrec.cpp:81-83)
-            if thr is not None and lab.score < thr.get(lab.name):
-                continue
-            emit(format_live(lab, out_format))
+            emit_one(lab)
 
     n = 0
     try:

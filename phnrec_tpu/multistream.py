@@ -359,10 +359,16 @@ class MultiStreamRecognizer:
         device-resident [N, L] sample buffer in ONE jitted dispatch
         (scan over block offsets, all bookkeeping on device) — the
         steady-state serving loop with zero per-block host traffic."""
-        if self.block < self.trap_shift and not self._primed_host.all():
-            raise ValueError("decode_device_buffer needs block_frames >= "
-                             "trap_shift for unprimed streams (the delay-"
-                             "gate skip must fit in the first block)")
+        # the scanned compaction removes ONE delay-gate gap at the end of
+        # the scan's first block; any stream whose remaining skip
+        # (trap_shift - n_mel) exceeds block_frames would spill skip into
+        # block 1 and corrupt the compacted history
+        if np.any(self.trap_shift - self._n_mel > self.block):
+            raise ValueError(
+                "decode_device_buffer needs block_frames >= each "
+                "stream's remaining delay-gate skip (trap_shift - "
+                "frames_seen); feed more audio via process() first or "
+                "use a larger block")
         k_arr = jnp.arange(first_block, first_block + n_blocks,
                            dtype=jnp.int32)
         st, hist = self._scan_buffer(
@@ -395,11 +401,10 @@ class MultiStreamRecognizer:
         """Drain leftovers, flush the STC tail, backtrack every stream."""
         if not self._flushed:
             self._ended[:] = True
+            # pump() with every stream ended drains ALL pending frames
+            # (ragged final blocks included)
             while self.pump():
                 pass
-            pending = self._pending()
-            if pending.max(initial=0) > 0:
-                self._dispatch(np.minimum(pending, self.block))
             if self._primed_host.any():
                 carry, hist = self._fused_flush(
                     self._mel_tail, self._carry,
@@ -591,11 +596,15 @@ class MultiStreamKWS(MultiStreamRecognizer):
                 # the final tracker state, per stream in keyword order
                 (_, cand_lr, cand_start, cand_end, _, dumped) = \
                     jax.device_get(self._carry[1])
+                sp = float(self._dec.kws_score_pruning)
                 self._final_hits = []
                 for b in range(self.n):
                     fin = []
                     for j in range(len(self._keywords)):
-                        if cand_end[b, j] != 0 and not dumped[b, j]:
+                        # incl. the kwsScorePruning emission floor,
+                        # exactly as KWSTracker._flush applies it
+                        if cand_end[b, j] != 0 and not dumped[b, j] \
+                                and cand_lr[b, j] >= sp:
                             fin.append(KWSHit(self._keywords[j],
                                               int(cand_start[b, j]),
                                               int(cand_end[b, j]),

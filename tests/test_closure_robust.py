@@ -135,6 +135,48 @@ def _gmm_mmf(rng, n_models: int, dim: int) -> str:
     return "\n".join(out) + "\n"
 
 
+def test_stacked_gmm_large_offset_precision(tmp_path):
+    """Features with a big common DC offset (e.g. raw log energies):
+    the expanded quadratic form must stay accurate — the group-mean
+    centering in _gmm_groups removes the cancellation that a naive
+    o2-2om+mm evaluation would suffer in f32."""
+    rng = np.random.default_rng(13)
+    dim, n_models, off = 4, 6, 1000.0
+    out = [f"~o <VecSize> {dim} <DIAGC>"]
+    for i in range(n_models):
+        out.append(f'~h "m{i}"\n<BEGINHMM>\n<NUMSTATES> 3')
+        out.append("<STATE> 2 <NUMMIXES> 1\n<MIXTURE> 1 1.0")
+        mu = off + rng.normal(0, 2, dim)
+        var = rng.random(dim) + 0.2
+        out.append("<MEAN> %d\n %s" % (dim,
+                   " ".join(f"{x:.6f}" for x in mu)))
+        out.append("<VARIANCE> %d\n %s" % (dim,
+                   " ".join(f"{x:.6f}" for x in var)))
+        out.append("<TRANSP> 3\n 0.0 1.0 0.0\n 0.0 0.5 0.5\n"
+                   " 0.0 0.0 0.0\n<ENDHMM>")
+    mp = tmp_path / "gmmoff.mmf"
+    mp.write_text("\n".join(out) + "\n")
+    ms = parse_mmf(str(mp))
+    lines = ["I=0 W=!NULL " + " ".join(f"E={i + 1}"
+                                       for i in range(n_models))]
+    for i in range(n_models):
+        lines.append(f"I={i + 1} M=m{i} E={n_models + 1}")
+    lines.append(f"I={n_models + 1} W=!NULL")
+    net = parse_stk_network("\n".join(lines), is_text=True)
+    c = compile_network(net, ms, wpenalty=0.0, lm_scale=1.0)
+    dec = NetworkDecoder(c)
+    obs = (off + rng.normal(0, 2, (11, dim))).astype(np.float32)
+    got = np.asarray(dec.state_observations(obs))
+    for e in range(c.n_states):
+        g = c.gmm_states[int(c.gmm_index[e])]
+        q = (((obs.astype(np.float64)[:, None, :]
+               - g.means.astype(np.float64)[None]) ** 2)
+             / g.variances[None]).sum(-1)
+        want = (np.log(g.weights)[None]
+                - 0.5 * (g.gconsts[None] + q))[:, 0]
+        np.testing.assert_allclose(got[:, e], want, rtol=1e-4, atol=1e-3)
+
+
 def test_stacked_gmm_scoring_matches_per_state(tmp_path):
     """state_observations stacks same-shape GMM states into [G, M, D]
     einsums; values must match the direct per-state density
