@@ -526,17 +526,20 @@ class NetworkDecoder:
 
         return step
 
-    @partial(jax.jit, static_argnums=0)
-    def scan_block(self, carry, obs_state: jnp.ndarray, t0, n_valid, beam):
+    @partial(jax.jit, static_argnums=(0, 6))
+    def scan_block(self, carry, obs_state: jnp.ndarray, t0, n_valid, beam,
+                   unroll: int = 1):
         """Scan a block of frames from an explicit carry (streaming chunk
         or whole utterance).  obs_state: [Tb, E]; ``t0`` = count of frames
         decoded before this block (times are 1-based, so the block covers
         t0+1..t0+Tb); ``n_valid`` = absolute valid frame count (padded
-        steps pass the carry through)."""
+        steps pass the carry through).  ``unroll`` amortizes scan-loop
+        overhead for narrow-lane serving scans (see docs/MLP_ROOFLINE.md:
+        lane-width dependent — keep 1 for wide batches)."""
         T = obs_state.shape[0]
         tt = jnp.int32(t0) + jnp.arange(1, T + 1, dtype=jnp.int32)
         return jax.lax.scan(self._step_fn(n_valid, beam), carry,
-                            (obs_state, tt))
+                            (obs_state, tt), unroll=unroll)
 
     def _scan(self, obs_state: jnp.ndarray, n_valid, beam=None):
         beam = OFF_BEAM if beam is None else beam
