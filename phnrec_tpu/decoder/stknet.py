@@ -778,6 +778,113 @@ class NetworkDecoder:
         return word_vals, filler, start_times
 
 
+class DenseKWSScan:
+    """Dense max-plus formulation of ViterbiStep for multi-stream KWS
+    serving.
+
+    The edge-list step (NetworkDecoder._step_fn) reduces over per-dst
+    gather tables — latency-bound at ~157 us/step when vmapped over
+    streams (measured 2026-08-21, 32 streams, EN KWS net).  For the
+    small static networks phnrec exercises, the same reductions are a
+    broadcast-add + axis-max over dense [SRC, DST] matrices, which the
+    VPU crunches instead of gathering.
+
+    Tie-breaking parity with the edge-list path is EXACT by
+    construction: per destination, edge ids ascend with (entry slot,
+    then source state / source model) — see compile_network's emission
+    order — so laying the SRC axis out as [model entry slots (M), then
+    emitting states (E)] makes argmax's first-max-wins pick the same
+    winner as the dense table's lowest-edge-id rule.  Parallel edges
+    between the same (src, dst) collapse at build time keeping the
+    first on ties (strictly-greater build loop).
+
+    Emits only the sink records (sink_val/sink_wt) the KWS tracker
+    consumes; decode-mode traceback stays on the edge-list path."""
+
+    def __init__(self, decoder: "NetworkDecoder"):
+        c = decoder.c
+        M, E = c.n_models, c.n_states
+        S = decoder.n_sinks
+        self.M, self.E, self.n_sinks = M, E, S
+        A_in = np.full((M + E, E), NEG, np.float32)
+        for k in range(len(c.in_src)):
+            row = (int(c.in_src[k]) if c.in_src_is_entry[k]
+                   else M + int(c.in_src[k]))
+            dst, w = int(c.in_dst[k]), np.float32(c.in_w[k])
+            if w > A_in[row, dst]:
+                A_in[row, dst] = w
+        A_ex = np.full((E, M), NEG, np.float32)
+        for k in range(len(c.ex_src)):
+            src, dst = int(c.ex_src[k]), int(c.ex_dst_model[k])
+            w = np.float32(c.ex_w[k])
+            if w > A_ex[src, dst]:
+                A_ex[src, dst] = w
+        A_cm = np.full((M, M), NEG, np.float32)
+        R_cm = np.zeros((M, M), bool)
+        for e in decoder.cm:
+            if e.src < 0:
+                continue           # START closure: handled by init_carry
+            w = np.float32(e.score)
+            if w > A_cm[e.src, e.dst]:
+                A_cm[e.src, e.dst] = w
+                R_cm[e.src, e.dst] = e.word_time_reset
+        A_cs = np.full((M, max(S, 1)), NEG, np.float32)
+        for e in decoder.cs:
+            if e.src < 0:
+                continue
+            w = np.float32(e.score)
+            if w > A_cs[e.src, e.sink]:
+                A_cs[e.src, e.sink] = w
+        self.A_in = jnp.asarray(A_in)
+        self.A_ex = jnp.asarray(A_ex)
+        self.A_cm = jnp.asarray(A_cm)
+        self.R_cm = jnp.asarray(R_cm)
+        self.A_cs = jnp.asarray(A_cs)
+        self._entry0, _, _ = decoder._init_entry()
+
+    def init_carry(self, n: int):
+        """[n]-stream carry: (alpha [n,E], wt [n,E], entry [n,M],
+        entry_wt [n,M]) — ViterbiInit + the initial entry closure."""
+        return (jnp.full((n, self.E), NEG, jnp.float32),
+                jnp.zeros((n, self.E), jnp.int32),
+                jnp.tile(jnp.asarray(self._entry0)[None], (n, 1)),
+                jnp.zeros((n, self.M), jnp.int32))
+
+    def step(self, carry, obs_t, t, live, beam):
+        """One ViterbiStep over [n] streams: obs_t [n, E], t [n] global
+        1-based frame times, live [n] row mask.  Returns (carry',
+        (sink_val [n, S], sink_wt [n, S]))."""
+        alpha, wt, entry, entry_wt = carry
+        src = jnp.concatenate([entry, alpha], axis=1)       # [n, M+E]
+        s1 = src[:, :, None] + self.A_in[None]              # [n, M+E, E]
+        new_alpha = jnp.max(s1, axis=1) + obs_t
+        am1 = jnp.argmax(s1, axis=1)
+        src_wt = jnp.concatenate([entry_wt, wt], axis=1)
+        new_wt = jnp.take_along_axis(src_wt, am1, axis=1)
+        thresh = jnp.max(new_alpha, axis=1, keepdims=True) - beam
+        new_alpha = jnp.where(new_alpha >= thresh, new_alpha, NEG)
+        s2 = new_alpha[:, :, None] + self.A_ex[None]        # [n, E, M]
+        exit_val = jnp.max(s2, axis=1)
+        am2 = jnp.argmax(s2, axis=1)
+        exit_wt = jnp.take_along_axis(new_wt, am2, axis=1)
+        s3 = exit_val[:, :, None] + self.A_cm[None]         # [n, M, M]
+        nentry = jnp.max(s3, axis=1)
+        am3 = jnp.argmax(s3, axis=1)
+        nentry = jnp.where(nentry >= thresh, nentry, NEG)
+        reset = self.R_cm[am3, jnp.arange(self.M)[None, :]]
+        nentry_wt = jnp.where(reset, t[:, None],
+                              jnp.take_along_axis(exit_wt, am3, axis=1))
+        s4 = exit_val[:, :, None] + self.A_cs[None]         # [n, M, S]
+        sink_val = jnp.max(s4, axis=1)
+        am4 = jnp.argmax(s4, axis=1)
+        sink_wt = jnp.take_along_axis(exit_wt, am4, axis=1)
+        new = (new_alpha, new_wt, nentry, nentry_wt)
+        lv = live[:, None]
+        carry = jax.tree_util.tree_map(
+            lambda n_, o_: jnp.where(lv, n_, o_), new, carry)
+        return carry, (sink_val, sink_wt)
+
+
 @dataclass
 class KWSHit:
     word: str

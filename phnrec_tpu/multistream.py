@@ -501,7 +501,8 @@ class MultiStreamKWS(MultiStreamRecognizer):
         if dec.model_set.input_xform is not None:
             raise NotImplementedError(
                 "multi-stream KWS does not carry InputXform delay lines")
-        from phnrec_tpu.decoder.stknet import (OFF_BEAM, lrtrace_step_fn)
+        from phnrec_tpu.decoder.stknet import (DenseKWSScan, OFF_BEAM,
+                                               lrtrace_step_fn)
         self._dec = dec
         self._keywords = dec.keywords()
         c = dec.compiled
@@ -511,6 +512,15 @@ class MultiStreamKWS(MultiStreamRecognizer):
                                  else dec.beam_pruning)
         self._trk_step = lrtrace_step_fn(dec.time_pruning,
                                          dec.kws_score_pruning)
+        # dense max-plus network step (see DenseKWSScan): ~2x the
+        # gather-based edge-list scan for the small static networks
+        # phnrec exercises; identical tie-breaking by construction.
+        # Opt out with PHNREC_TPU_DENSE_KWS=0 (or very large networks).
+        import os
+        self._dense = None
+        if os.environ.get("PHNREC_TPU_DENSE_KWS", "1") != "0" and \
+                c.n_models + c.n_states <= 1024:
+            self._dense = DenseKWSScan(dec.decoder)
         self._hits_emitted = [0] * n_streams
         self._final_hits = None
         self._hits_cache = [[] for _ in range(n_streams)]
@@ -524,9 +534,13 @@ class MultiStreamKWS(MultiStreamRecognizer):
 
     def _init_decode_carry(self):
         from phnrec_tpu.decoder.stknet import lrtrace_init_state
-        stk0 = self._dec.decoder.init_carry()
-        stk = jax.tree_util.tree_map(
-            lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim), stk0)
+        if self._dense is not None:
+            stk = self._dense.init_carry(self.n)
+        else:
+            stk0 = self._dec.decoder.init_carry()
+            stk = jax.tree_util.tree_map(
+                lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim),
+                stk0)
         trk = jax.tree_util.tree_map(
             lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim),
             lrtrace_init_state(len(self._keywords)))
@@ -538,9 +552,12 @@ class MultiStreamKWS(MultiStreamRecognizer):
         return NamedSharding(mesh, P("data"))
 
     def _decode_block(self, carry, lp, n_dec, n_valid):
-        stk_c, trk = carry
         dec = self._dec.decoder
         obs_state = jax.vmap(dec.state_observations)(lp)   # [N, F, E]
+        if self._dense is not None:
+            return self._decode_block_dense(carry, obs_state, n_dec,
+                                            n_valid)
+        stk_c, trk = carry
 
         def net_one(c, o, t0, nv):
             # scan_block's n_valid is the ABSOLUTE frame bound
@@ -563,6 +580,37 @@ class MultiStreamKWS(MultiStreamRecognizer):
         trk, events = jax.vmap(trk_one)(trk, sink_val, sink_wt,
                                         n_dec, n_valid)
         return (stk_c, trk), events
+
+    def _decode_block_dense(self, carry, obs_state, n_dec, n_valid):
+        """Fused dense max-plus network step + LRTrace update in ONE
+        scan over the block's frames (DenseKWSScan semantics == the
+        edge-list scan, asserted in tests)."""
+        dense = self._dense
+        ws, fs = self._kws_ws, self._kws_fs
+        beam = self._beam
+        trk_step = self._trk_step
+        trk_vstep = jax.vmap(
+            lambda st, wv, fl, w_s, t, lv: trk_step(st, (wv, fl, w_s, t,
+                                                         lv)))
+
+        def step(c, x):
+            net_c, trk = c
+            obs_t, i = x                            # obs_t [N, E]
+            t_net = n_dec + 1 + i                   # 1-based frame times
+            live = i < n_valid
+            net_c, (sv, sw) = dense.step(net_c, obs_t, t_net, live, beam)
+            trk, events = trk_vstep(
+                trk, sv[:, ws], sv[:, fs], sw[:, ws].astype(jnp.int32),
+                n_dec + i, live)                    # tracker is 0-based
+            return (net_c, trk), events
+
+        F = obs_state.shape[1]
+        obs_fm = jnp.transpose(obs_state, (1, 0, 2))     # [F, N, E]
+        carry, events = jax.lax.scan(
+            step, carry, (obs_fm, jnp.arange(F, dtype=jnp.int32)))
+        # events leaves [F, N, K] -> the [N, F, K] convention
+        return carry, jax.tree_util.tree_map(
+            lambda a: jnp.transpose(a, (1, 0, 2)), events)
 
     def _compact_scan(self, hists, skip0, K: int, N: int):
         # flush events need no gather (dead frames emit nothing); merge

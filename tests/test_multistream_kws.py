@@ -107,3 +107,22 @@ def test_multistream_kws_mesh(kws_sr, raw_bytes):
     got, want = ms.finish(), ref.finish()
     for i in range(8):
         assert _key(got[i]) == _key(want[i]), f"stream {i}"
+
+
+def test_dense_scan_matches_edge_list(kws_sr, raw_bytes, monkeypatch):
+    """The dense max-plus network step must be hit-for-hit identical to
+    the gather-based edge-list scan (incl. tie-breaking and word start
+    times)."""
+    ms_dense = MultiStreamKWS(kws_sr, n_streams=2, block_frames=32)
+    assert ms_dense._dense is not None
+    monkeypatch.setenv("PHNREC_TPU_DENSE_KWS", "0")
+    ms_edge = MultiStreamKWS(kws_sr, n_streams=2, block_frames=32)
+    assert ms_edge._dense is None
+    streams = [raw_bytes, raw_bytes[2 * 800:]]
+    for m in (ms_dense, ms_edge):
+        for i, s in enumerate(streams):
+            m.process(i, s)
+    got, want = ms_dense.finish(), ms_edge.finish()
+    for i in range(2):
+        assert want[i], f"edge-list produced no hits on stream {i}"
+        assert _key(got[i]) == _key(want[i]), f"stream {i} diverged"
