@@ -55,16 +55,22 @@ def synth_audio(seconds: float, rate: int, seed: int = 0) -> bytes:
 
 def _build_kws_package(root: str) -> str:
     """EN-based stkint KWS package (keywords greasy/wash), idempotent —
-    the multi-stream KWS serving benchmark's model set."""
+    the multi-stream KWS serving benchmark's model set.  Built in a
+    temp dir and renamed into place so an interrupted earlier run never
+    leaves a half-built package the isdir check would trust."""
     src = "/root/reference/PHN_EN_TIMIT_LCRC_N500"
     import re
+    import shutil
     pkg = os.path.join(root, "pkg_kws")
-    if os.path.isdir(pkg):
+    if os.path.exists(os.path.join(pkg, "config")):
         return pkg
-    os.makedirs(pkg)
+    shutil.rmtree(pkg, ignore_errors=True)
+    tmp = pkg + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     for entry in os.listdir(src):
         if entry != "config":
-            os.symlink(os.path.join(src, entry), os.path.join(pkg, entry))
+            os.symlink(os.path.join(src, entry), os.path.join(tmp, entry))
     kws = os.path.join(root, "kwlist")
     lex = os.path.join(root, "kwlex")
     with open(kws, "w") as f:
@@ -76,8 +82,9 @@ def _build_kws_package(root: str) -> str:
     cfg += ("\n[decoder]\nmode=kws\n"
             "[networks]\ngen_kws_net=true\ndefault=$T/kwsnet\n"
             f"[dicts]\nkeyword_list={kws}\nlexicon1={lex}\n")
-    with open(os.path.join(pkg, "config"), "w") as f:
+    with open(os.path.join(tmp, "config"), "w") as f:
         f.write(cfg)
+    os.rename(tmp, pkg)
     return pkg
 
 
@@ -93,7 +100,8 @@ def run_multistream(n_streams: int, minutes_per_stream: float,
                                         MultiStreamRecognizer)
     from phnrec_tpu.pipeline import SpeechRec
 
-    if kws:
+    if kws and pkg == CZ_PKG:
+        # default package only: a user-supplied kws package wins
         pkg = _build_kws_package("/tmp/phnrec_kws_bench")
     sr = SpeechRec(pkg)
     rate = sr.cfg.get_int("source", "sample_freq")
@@ -149,6 +157,9 @@ def main() -> None:
             skip.add(i)
     args = [a for i, a in enumerate(sys.argv) if i > 0 and i not in skip
             and not a.startswith("--")]
+    if kws and not streams:
+        sys.exit("--kws requires --streams N (the multi-stream KWS "
+                 "serving benchmark)")
     if streams:
         minutes = float(args[0]) if args else 10.0
         pkg = args[1] if len(args) > 1 else CZ_PKG

@@ -852,8 +852,9 @@ class DenseKWSScan:
 
     def step(self, carry, obs_t, t, live, beam):
         """One ViterbiStep over [n] streams: obs_t [n, E], t [n] global
-        1-based frame times, live [n] row mask.  Returns (carry',
-        (sink_val [n, S], sink_wt [n, S]))."""
+        1-based frame times, live [n] row mask, beam [n] per-stream
+        pruning widths.  Returns (carry', (sink_val [n, S],
+        sink_wt [n, S]))."""
         alpha, wt, entry, entry_wt = carry
         src = jnp.concatenate([entry, alpha], axis=1)       # [n, M+E]
         s1 = src[:, :, None] + self.A_in[None]              # [n, M+E, E]
@@ -861,7 +862,8 @@ class DenseKWSScan:
         am1 = jnp.argmax(s1, axis=1)
         src_wt = jnp.concatenate([entry_wt, wt], axis=1)
         new_wt = jnp.take_along_axis(src_wt, am1, axis=1)
-        thresh = jnp.max(new_alpha, axis=1, keepdims=True) - beam
+        thresh = jnp.max(new_alpha, axis=1, keepdims=True) \
+            - jnp.reshape(beam, (-1, 1))
         new_alpha = jnp.where(new_alpha >= thresh, new_alpha, NEG)
         s2 = new_alpha[:, :, None] + self.A_ex[None]        # [n, E, M]
         exit_val = jnp.max(s2, axis=1)
@@ -1066,6 +1068,22 @@ def lrtrace_step_fn(time_pruning: float, score_pruning: float,
     return step
 
 
+def flush_outstanding_candidates(state_np, keywords,
+                                 score_pruning: float) -> List[KWSHit]:
+    """StkInterface::Done's final candidate flush from a fetched LRTrace
+    state tuple ([K]-shaped leaves, one stream): emit each undumped
+    candidate that clears the kwsScorePruning floor, in keyword order
+    (mirrors KWSTracker._flush with improve_kwd_estim final semantics)."""
+    (_, cand_lr, cand_start, cand_end, _, dumped) = state_np
+    hits: List[KWSHit] = []
+    for j in range(len(keywords)):
+        if cand_end[j] != 0 and not dumped[j] \
+                and cand_lr[j] >= score_pruning:
+            hits.append(KWSHit(keywords[j], int(cand_start[j]),
+                               int(cand_end[j]), float(cand_lr[j])))
+    return hits
+
+
 def decode_lrtrace_events(events_np, keywords) -> List[KWSHit]:
     """Host decode of fetched flush-event records for ONE stream:
     (rec1, rec2) dicts of [F, K] arrays -> hits in the reference's
@@ -1190,18 +1208,9 @@ class DeviceKWSTracker:
         if self._finished:
             return self.hits[first:]
         self._finished = True
-        (_, cand_lr, cand_start, cand_end, prev_end,
-         dumped) = jax.device_get(self.state)
-        # mirror KWSTracker._flush (improve_kwd_estim not used on the
-        # device path's finish: candidates here are final), including
-        # the kwsScorePruning floor on emission
-        for j in range(len(self.keywords)):
-            if cand_end[j] != 0 and not dumped[j] \
-                    and cand_lr[j] >= self.score_pruning:
-                self.hits.append(KWSHit(self.keywords[j],
-                                        int(cand_start[j]),
-                                        int(cand_end[j]),
-                                        float(cand_lr[j])))
+        self.hits.extend(flush_outstanding_candidates(
+            jax.device_get(self.state), self.keywords,
+            self.score_pruning))
         return self.hits[first:]
 
 

@@ -506,27 +506,44 @@ class MultiStreamKWS(MultiStreamRecognizer):
         self._dec = dec
         self._keywords = dec.keywords()
         c = dec.compiled
+        if c.kws_filler_sink is None or not c.kws_word_sinks:
+            raise ValueError(
+                "KWS network needs a filler-end sink and at least one "
+                "sticky keyword-end node (stkinterface.cpp:107-155 node "
+                "discovery found none in this network)")
         self._kws_ws = jnp.asarray(np.asarray(c.kws_word_sinks, np.int32))
         self._kws_fs = c.kws_filler_sink
-        self._beam = jnp.float32(OFF_BEAM if dec.beam_pruning is None
-                                 else dec.beam_pruning)
+        self._beam0 = float(OFF_BEAM if dec.beam_pruning is None
+                            else dec.beam_pruning)
         self._trk_step = lrtrace_step_fn(dec.time_pruning,
                                          dec.kws_score_pruning)
-        # dense max-plus network step (see DenseKWSScan): ~2x the
-        # gather-based edge-list scan for the small static networks
-        # phnrec exercises; identical tie-breaking by construction.
-        # Opt out with PHNREC_TPU_DENSE_KWS=0 (or very large networks).
+        # dense max-plus network step (see DenseKWSScan): parity with
+        # the gather-based edge-list scan in both results and measured
+        # speed (docs/MLP_ROOFLINE.md); kept as the default for its
+        # fused single-scan structure.  Opt out with
+        # PHNREC_TPU_DENSE_KWS=0 (or very large networks).
         import os
         self._dense = None
         if os.environ.get("PHNREC_TPU_DENSE_KWS", "1") != "0" and \
                 c.n_models + c.n_states <= 1024:
             self._dense = DenseKWSScan(dec.decoder)
         self._hits_emitted = [0] * n_streams
-        self._final_hits = None
-        self._hits_cache = [[] for _ in range(n_streams)]
-        self._blocks_decoded = 0
+        # per-stream Label lists, built INCREMENTALLY as event blocks
+        # are fetched (decoded device blocks are dropped — a long-lived
+        # serving session must not accumulate them)
+        self._labels = [[] for _ in range(n_streams)]
+        self._final_done = False
         super().__init__(sr, n_streams, block_frames=block_frames,
                          auto_pump=auto_pump, mesh=mesh)
+
+    def set_beam_pruning(self, v: Optional[float]) -> None:
+        """Live beam-pruning knob (SetBeamPruning, stkinterface.h:108):
+        the width rides in the decode carry, so changing it affects the
+        next dispatch without recompiling."""
+        from phnrec_tpu.decoder.stknet import OFF_BEAM
+        beam = jnp.full((self.n,), OFF_BEAM if v is None else v,
+                        jnp.float32)
+        self._carry = self._carry[:2] + (self._put(beam, self._sh_rows),)
 
     # -- decoder hooks ---------------------------------------------------
     def _check_decoder(self, sr: SpeechRec) -> None:
@@ -544,7 +561,9 @@ class MultiStreamKWS(MultiStreamRecognizer):
         trk = jax.tree_util.tree_map(
             lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim),
             lrtrace_init_state(len(self._keywords)))
-        return (stk, trk)
+        # the beam width rides in the carry (one [N] lane row) so
+        # set_beam_pruning stays a live knob without retracing
+        return (stk, trk, jnp.full((self.n,), self._beam0, jnp.float32))
 
     def _carry_sharding(self, mesh):
         # every carry leaf has the stream axis LEADING
@@ -557,13 +576,14 @@ class MultiStreamKWS(MultiStreamRecognizer):
         if self._dense is not None:
             return self._decode_block_dense(carry, obs_state, n_dec,
                                             n_valid)
-        stk_c, trk = carry
+        stk_c, trk, beam = carry
 
-        def net_one(c, o, t0, nv):
+        def net_one(c, o, t0, nv, bm):
             # scan_block's n_valid is the ABSOLUTE frame bound
-            return dec.scan_block(c, o, t0, t0 + nv, self._beam)
+            return dec.scan_block(c, o, t0, t0 + nv, bm)
 
-        stk_c, recs = jax.vmap(net_one)(stk_c, obs_state, n_dec, n_valid)
+        stk_c, recs = jax.vmap(net_one)(stk_c, obs_state, n_dec, n_valid,
+                                        beam)
         sink_val, sink_wt = recs["sink_val"], recs["sink_wt"]
         ws, fs = self._kws_ws, self._kws_fs
         step = self._trk_step
@@ -579,7 +599,7 @@ class MultiStreamKWS(MultiStreamRecognizer):
 
         trk, events = jax.vmap(trk_one)(trk, sink_val, sink_wt,
                                         n_dec, n_valid)
-        return (stk_c, trk), events
+        return (stk_c, trk, beam), events
 
     def _decode_block_dense(self, carry, obs_state, n_dec, n_valid):
         """Fused dense max-plus network step + LRTrace update in ONE
@@ -587,14 +607,13 @@ class MultiStreamKWS(MultiStreamRecognizer):
         edge-list scan, asserted in tests)."""
         dense = self._dense
         ws, fs = self._kws_ws, self._kws_fs
-        beam = self._beam
         trk_step = self._trk_step
         trk_vstep = jax.vmap(
             lambda st, wv, fl, w_s, t, lv: trk_step(st, (wv, fl, w_s, t,
                                                          lv)))
 
         def step(c, x):
-            net_c, trk = c
+            net_c, trk, beam = c
             obs_t, i = x                            # obs_t [N, E]
             t_net = n_dec + 1 + i                   # 1-based frame times
             live = i < n_valid
@@ -602,7 +621,7 @@ class MultiStreamKWS(MultiStreamRecognizer):
             trk, events = trk_vstep(
                 trk, sv[:, ws], sv[:, fs], sw[:, ws].astype(jnp.int32),
                 n_dec + i, live)                    # tracker is 0-based
-            return (net_c, trk), events
+            return (net_c, trk, beam), events
 
         F = obs_state.shape[1]
         obs_fm = jnp.transpose(obs_state, (1, 0, 2))     # [F, N, E]
@@ -621,52 +640,51 @@ class MultiStreamKWS(MultiStreamRecognizer):
                 N, -1, a.shape[3]), hists)
 
     # -- results ---------------------------------------------------------
+    def _sync(self) -> None:
+        """Fetch + decode any pending event blocks into the per-stream
+        Label lists, then DROP them (decoded blocks are never re-read —
+        a long-lived serving session must not accumulate device or host
+        copies), and append the final candidate flush once after
+        finish()."""
+        from phnrec_tpu.decoder.stknet import (
+            decode_lrtrace_events, flush_outstanding_candidates)
+
+        if self._hist:
+            # ONE batched fetch of the not-yet-decoded event blocks
+            fetched = jax.device_get([h for h, _ in self._hist])
+            self._hist = []
+            for rec1, rec2 in fetched:
+                for b in range(self.n):
+                    self._labels[b].extend(
+                        Label(h.start, h.end, h.word, h.score)
+                        for h in decode_lrtrace_events(
+                            (jax.tree_util.tree_map(lambda a: a[b], rec1),
+                             jax.tree_util.tree_map(lambda a: a[b], rec2)),
+                            self._keywords))
+        if self._flushed and not self._final_done:
+            # StkInterface::Done: flush outstanding candidates from the
+            # final tracker state, per stream in keyword order
+            self._final_done = True
+            trk = jax.device_get(self._carry[1])
+            sp = float(self._dec.kws_score_pruning)
+            for b in range(self.n):
+                row = tuple(leaf[b] for leaf in trk)
+                self._labels[b].extend(
+                    Label(h.start, h.end, h.word, h.score)
+                    for h in flush_outstanding_candidates(
+                        row, self._keywords, sp))
+
     def results(self) -> List[List[Label]]:
         """Per-stream KWS hits flushed so far (live callback stream); at
         finish() the outstanding candidates are force-flushed too."""
-        from phnrec_tpu.decoder.stknet import KWSHit, decode_lrtrace_events
-
-        new = self._hist[self._blocks_decoded:]
-        if new:
-            # ONE batched fetch of only the not-yet-decoded event blocks
-            fetched = jax.device_get([h for h, _ in new])
-            self._blocks_decoded = len(self._hist)
-            for rec1, rec2 in fetched:
-                for b in range(self.n):
-                    self._hits_cache[b].extend(decode_lrtrace_events(
-                        (jax.tree_util.tree_map(lambda a: a[b], rec1),
-                         jax.tree_util.tree_map(lambda a: a[b], rec2)),
-                        self._keywords))
-        hits: List[List[KWSHit]] = [list(hb) for hb in self._hits_cache]
-        if self._flushed:
-            if self._final_hits is None:
-                # StkInterface::Done: flush outstanding candidates from
-                # the final tracker state, per stream in keyword order
-                (_, cand_lr, cand_start, cand_end, _, dumped) = \
-                    jax.device_get(self._carry[1])
-                sp = float(self._dec.kws_score_pruning)
-                self._final_hits = []
-                for b in range(self.n):
-                    fin = []
-                    for j in range(len(self._keywords)):
-                        # incl. the kwsScorePruning emission floor,
-                        # exactly as KWSTracker._flush applies it
-                        if cand_end[b, j] != 0 and not dumped[b, j] \
-                                and cand_lr[b, j] >= sp:
-                            fin.append(KWSHit(self._keywords[j],
-                                              int(cand_start[b, j]),
-                                              int(cand_end[b, j]),
-                                              float(cand_lr[b, j])))
-                    self._final_hits.append(fin)
-            for b in range(self.n):
-                hits[b].extend(self._final_hits[b])
-        return [[Label(h.start, h.end, h.word, h.score) for h in hb]
-                for hb in hits]
+        self._sync()
+        return [list(lb) for lb in self._labels]
 
     def hits_so_far(self, i: int) -> List[Label]:
         """Newly flushed hits for stream ``i`` since the last call — the
-        per-stream live callback (DECMSG_WORD emission)."""
-        labels = self.results()[i]
-        new = labels[self._hits_emitted[i]:]
-        self._hits_emitted[i] = len(labels)
-        return new
+        per-stream live callback (DECMSG_WORD emission).  O(new hits),
+        not O(session)."""
+        self._sync()
+        new = self._labels[i][self._hits_emitted[i]:]
+        self._hits_emitted[i] = len(self._labels[i])
+        return list(new)

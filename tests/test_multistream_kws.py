@@ -50,7 +50,8 @@ def _single_hits(sr, stream, block):
 
 
 def test_multistream_kws_matches_single(kws_sr, raw_bytes):
-    streams = [raw_bytes, raw_bytes[: len(raw_bytes) // 2 * 2 // 2 * 2],
+    # full, HALF-length (sample-aligned), and offset streams
+    streams = [raw_bytes, raw_bytes[: len(raw_bytes) // 2 // 2 * 2],
                raw_bytes[2 * 1600:]]
     ms = MultiStreamKWS(kws_sr, n_streams=3, block_frames=32)
     offsets = [0] * 3
@@ -126,3 +127,36 @@ def test_dense_scan_matches_edge_list(kws_sr, raw_bytes, monkeypatch):
     for i in range(2):
         assert want[i], f"edge-list produced no hits on stream {i}"
         assert _key(got[i]) == _key(want[i]), f"stream {i} diverged"
+
+
+def test_event_blocks_dropped_after_sync(kws_sr, raw_bytes):
+    """Decoded event blocks must not accumulate (a 24/7 serving session
+    would otherwise leak HBM/host memory); polling stays incremental."""
+    ms = MultiStreamKWS(kws_sr, n_streams=2, block_frames=32)
+    for i in range(2):
+        ms.process(i, raw_bytes)
+    assert ms._hist, "expected pending event blocks"
+    first = ms.results()
+    assert ms._hist == []
+    again = ms.results()
+    assert [_key(a) for a in again] == [_key(a) for a in first]
+    final = ms.finish()
+    assert ms._hist == []
+    for i in range(2):
+        assert _key(final[i])[: len(_key(first[i]))] == _key(first[i])
+
+
+def test_set_beam_pruning_is_live(kws_sr, raw_bytes):
+    """The beam rides in the decode carry: changing it after
+    construction affects subsequent dispatches (stkinterface.h:108's
+    SetBeamPruning semantics), without recompiling."""
+    wide = MultiStreamKWS(kws_sr, n_streams=1, block_frames=32)
+    wide.set_beam_pruning(1e9)         # effectively off
+    narrow = MultiStreamKWS(kws_sr, n_streams=1, block_frames=32)
+    narrow.set_beam_pruning(1.0)       # very tight
+    base = MultiStreamKWS(kws_sr, n_streams=1, block_frames=32)
+    for m in (wide, narrow, base):
+        m.process(0, raw_bytes)
+    w, n, b = wide.finish()[0], narrow.finish()[0], base.finish()[0]
+    assert _key(w) == _key(b), "huge beam must change nothing"
+    assert _key(n) != _key(b), "tight beam must change the LR stream"
