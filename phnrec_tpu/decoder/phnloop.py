@@ -253,6 +253,37 @@ def backtrack(hist: History, phonemes: List[str]) -> List[Label]:
     return labels
 
 
+def backtrack_committed(hist: History, row_offset: int, frame0: int,
+                        alpha0: float, phonemes: List[str]) -> List[Label]:
+    """backtrack() over a RETAINED history window: row i holds the
+    record of global frame ``row_offset + i``; the walk stops at the
+    committed boundary ``frame0`` (the fixed-lag forced-commit point,
+    TimePruning semantics phndec.cpp:191-234), clamping the earliest
+    label's start to it, and uses ``alpha0`` (the committed path's
+    cumulative like at frame0) for the boundary segment's delta.  With
+    row_offset == frame0 == 0 and alpha0 == 0 this is exactly
+    backtrack()."""
+    max_phn = np.asarray(hist.max_phn)
+    ent = np.asarray(hist.ent)
+    alpha = np.asarray(hist.alpha)
+    T = max_phn.shape[0]
+    end = row_offset + T
+    labels: List[Label] = []
+    while end > frame0:
+        i = end - 1 - row_offset
+        phn = int(max_phn[i])
+        if phn < 0:
+            break
+        start = max(int(ent[i]), frame0)     # forced-commit clamp
+        prev_alpha = (alpha0 if start <= frame0
+                      else float(alpha[start - 1 - row_offset]))
+        labels.append(Label(start, end, phonemes[phn],
+                            float(alpha[i]) - prev_alpha))
+        end = start
+    labels.reverse()
+    return labels
+
+
 def backtrack_batch(hist: History, n_frames: np.ndarray,
                     phonemes: List[str]) -> List[List[Label]]:
     """Batched backtrack over [T, B] history arrays (columns valid up to

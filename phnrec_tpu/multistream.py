@@ -46,15 +46,26 @@ class MultiStreamRecognizer:
 
     def __init__(self, sr: SpeechRec, n_streams: int,
                  block_frames: int = 128, auto_pump: bool = True,
-                 mesh=None):
+                 mesh=None, commit_horizon: Optional[int] = None):
         """``mesh``: an optional jax.sharding.Mesh with a 'data' axis —
         streams shard across devices (the stream axis is the lane-minor
         axis of every carried tensor, so XLA partitions the whole fused
         program without collectives: each device serves its slice of the
-        streams).  n_streams must divide evenly by the axis size."""
+        streams).  n_streams must divide evenly by the axis size.
+
+        ``commit_horizon``: opt-in fixed-lag commit for UNBOUNDED
+        serving sessions — labels ending at least ``commit_horizon``
+        frames behind each stream's newest frame are committed and their
+        history rows dropped (the reference's TimePruning ring,
+        phndec.cpp:191-234), bounding memory at O(horizon) per stream
+        instead of O(session).  Like the reference's forced commit, a
+        later global-best-path shift cannot rewrite the committed
+        prefix.  None (default) keeps the full history (exact full
+        backtrack at finish)."""
         if sr.estimator is None:
             raise ValueError("streaming requires an enabled estimator")
         self._check_decoder(sr)
+        self.commit_horizon = commit_horizon
         self.online_norm = normalization.OnlineNorm.from_config(
             sr.cfg, sr.frontend.spec.nbanks)
         if self.online_norm.enabled:
@@ -107,6 +118,14 @@ class MultiStreamRecognizer:
         # history: (device History [T, N], valid [N] np) per dispatch
         self._hist: List = []
         self._res_cache: dict = {}
+        # fixed-lag commit state (commit_horizon mode): per-stream
+        # committed labels, commit boundary frames, path like at the
+        # boundary, and the local-row offset of each stream's retained
+        # history (frames [offset_b, n_dec_b) remain)
+        self._committed: List[List[Label]] = [[] for _ in range(n_streams)]
+        self._frame0 = np.zeros(n_streams, np.int64)
+        self._alpha0 = np.zeros(n_streams, np.float64)
+        self._row_offset = np.zeros(n_streams, np.int64)
 
         fe = sr.frontend
         dc = np.float32(sr.wave_dc_shift)
@@ -333,6 +352,60 @@ class MultiStreamRecognizer:
         self._n_mel += v
         self._n_dec += valid
         self._primed_host |= v > 0
+        self._maybe_commit()
+
+    # -- fixed-lag commit (commit_horizon mode) --------------------------
+    def _hist_to_host(self) -> None:
+        """Materialize retained device history blocks on the host in ONE
+        batched fetch (their device copies are then droppable)."""
+        dev = [i for i, (h, _) in enumerate(self._hist)
+               if not isinstance(h[0], np.ndarray)]
+        if not dev:
+            return
+        fetched = jax.device_get([self._hist[i][0] for i in dev])
+        for i, h in zip(dev, fetched):
+            self._hist[i] = (phnloop.History(*h), self._hist[i][1])
+
+    def _stream_hist(self, b: int) -> Optional[phnloop.History]:
+        cols = [tuple(np.asarray(a)[: int(v[b]), b] for a in h)
+                for h, v in self._hist if v[b] > 0]
+        if not cols:
+            return None
+        return phnloop.History(
+            *(np.concatenate([c[j] for c in cols]) for j in range(3)))
+
+    def _maybe_commit(self) -> None:
+        if self.commit_horizon is None or not self._hist:
+            return
+        retained = int((self._n_dec - self._row_offset).max(initial=0))
+        if retained <= 2 * self.commit_horizon + self.block:
+            return
+        self._hist_to_host()
+        for b in range(self.n):
+            hist_b = self._stream_hist(b)
+            if hist_b is None:
+                continue
+            labels = phnloop.backtrack_committed(
+                hist_b, int(self._row_offset[b]), int(self._frame0[b]),
+                float(self._alpha0[b]), self.sr.phonemes)
+            horizon_end = int(self._n_dec[b]) - self.commit_horizon
+            commit = [l for l in labels if l.end_frames <= horizon_end]
+            if not commit:
+                continue
+            self._committed[b].extend(commit)
+            e = commit[-1].end_frames
+            self._alpha0[b] = float(np.asarray(hist_b.alpha)[
+                e - 1 - int(self._row_offset[b])])
+            self._frame0[b] = e
+        # drop whole blocks once every stream's rows in them are
+        # committed (block 0 spans [row_offset_b, row_offset_b + v0_b))
+        while self._hist:
+            _, v0 = self._hist[0]
+            if np.all(self._row_offset + v0 <= self._frame0):
+                self._row_offset += v0.astype(np.int64)
+                self._hist.pop(0)
+            else:
+                break
 
     def shard_audio(self, audio) -> "jnp.ndarray":
         """Place an [N, L] sample buffer with the stream axis sharded
@@ -420,7 +493,20 @@ class MultiStreamRecognizer:
         return self.results()
 
     def results(self) -> List[List[Label]]:
-        """Backtrack every stream's accumulated history."""
+        """Backtrack every stream's accumulated history (stitched onto
+        the committed prefix in commit_horizon mode)."""
+        if self.commit_horizon is not None:
+            self._hist_to_host()
+            out: List[List[Label]] = []
+            for b in range(self.n):
+                hist_b = self._stream_hist(b)
+                tail = [] if hist_b is None else \
+                    phnloop.backtrack_committed(
+                        hist_b, int(self._row_offset[b]),
+                        int(self._frame0[b]), float(self._alpha0[b]),
+                        self.sr.phonemes)
+                out.append(self._committed[b] + tail)
+            return out
         if not self._hist:
             return [[] for _ in range(self.n)]
         valids = np.stack([v for _, v in self._hist])      # [K, N]
@@ -464,17 +550,12 @@ class MultiStreamRecognizer:
             return phnloop.backtrack_batch(
                 phnloop.History(*fetched), self._n_dec, self.sr.phonemes)
         # ragged path: fetch once, compact per stream on host
-        fetched = [(jax.device_get(h), v) for h, v in self._hist]
-        out: List[List[Label]] = []
+        self._hist_to_host()
+        out = []
         for b in range(self.n):
-            cols = [tuple(np.asarray(a)[: int(v[b]), b] for a in h)
-                    for h, v in fetched if v[b] > 0]
-            if not cols:
-                out.append([])
-                continue
-            hist = phnloop.History(
-                *(np.concatenate([c[j] for c in cols]) for j in range(3)))
-            out.append(phnloop.backtrack(hist, self.sr.phonemes))
+            hist_b = self._stream_hist(b)
+            out.append([] if hist_b is None else
+                       phnloop.backtrack(hist_b, self.sr.phonemes))
         return out
 
 

@@ -171,3 +171,33 @@ def test_multistream_mesh_device_buffer(sr_en, raw_bytes):
     want = ref.finish()
     for i in range(n):
         assert _key(got[i]) == _key(want[i]), f"stream {i}"
+
+
+def test_commit_horizon_bounds_memory_and_matches(sr_en, raw_bytes):
+    """Opt-in fixed-lag commit: long sessions keep O(horizon) history
+    (blocks drop as their rows commit) while the stitched output equals
+    the full-history decode (paths settle within the lag on speech)."""
+    streams = _streams(raw_bytes, 3)
+    full = MultiStreamRecognizer(sr_en, n_streams=3, block_frames=32)
+    com = MultiStreamRecognizer(sr_en, n_streams=3, block_frames=32,
+                                commit_horizon=60)
+    max_blocks = 0
+    offsets = [0] * 3
+    chunk = 7000
+    while any(o < len(s) for o, s in zip(offsets, streams)):
+        for i, s in enumerate(streams):
+            if offsets[i] < len(s):
+                for m in (full, com):
+                    m.process(i, s[offsets[i] : offsets[i] + chunk])
+                offsets[i] += chunk
+        max_blocks = max(max_blocks, len(com._hist))
+        com.results()      # live polling through the committed path
+    got, want = com.finish(), full.finish()
+    assert com._frame0.min() > 0, "no commit ever happened"
+    # retained window stayed bounded: 2*horizon + block frames of blocks
+    # (plus in-flight); the full recognizer retains everything
+    assert max_blocks < len(full._hist)
+    for i in range(3):
+        assert _key(got[i]) == _key(want[i]), f"stream {i} diverged"
+        for a, b in zip(got[i], want[i]):
+            assert a.score == pytest.approx(b.score, abs=1e-2)
