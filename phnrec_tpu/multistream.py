@@ -264,9 +264,15 @@ class MultiStreamRecognizer:
 
     def _decode_block(self, carry, lp, n_dec, n_valid):
         """(decode carry, rolled log-posteriors [N, F, D], per-row global
-        frame offsets, per-row valid counts) -> (carry', block output)."""
+        frame offsets, per-row valid counts) -> (carry', block output).
+
+        Scan unroll is lane-width dependent (docs/MLP_ROOFLINE.md):
+        narrow stream counts amortize loop overhead ~1.6x at unroll=8,
+        but at >=2 full lane tiles the unrolled body spills and
+        regresses badly — so it adapts to the stream count."""
+        unroll = 8 if self.n <= 128 else 1
         return phnloop.viterbi_block_ragged(self.sr.loop_spec, carry, lp,
-                                            n_dec, n_valid)
+                                            n_dec, n_valid, unroll)
 
     def _compact_scan(self, hists, skip0, K: int, N: int):
         """Merge a scanned stack of block outputs into one entry.  For
