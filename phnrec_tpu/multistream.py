@@ -25,7 +25,7 @@ against the single-stream path in tests/test_multistream.py.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

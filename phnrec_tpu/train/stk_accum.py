@@ -43,7 +43,7 @@ unknown macros by scanning to the next '~').
 from __future__ import annotations
 
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
