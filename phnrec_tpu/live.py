@@ -133,7 +133,13 @@ def run_live(sr: SpeechRec, out_format: str = "str",
     else:
         stream_read = stream.read
 
-    rec = StreamingRecognizer(sr)
+    # live sessions are unbounded: commit the settled prefix at a
+    # generous multiple of the decoder lag so memory stays O(horizon)
+    # (the reference's ring holds exactly time_pruning entries,
+    # phndec.cpp:191-234; our horizon is deliberately larger so the
+    # commit only forces boundaries long after they settle)
+    tp = sr.cfg.get_int("decoder", "time_pruning")
+    rec = StreamingRecognizer(sr, commit_horizon=max(4 * tp, 512))
     # live KWS drops detections below the per-keyword threshold — the
     # callback filter in phnrec.cpp:81-83; label files keep every candidate
     thr = None

@@ -43,11 +43,25 @@ from phnrec_tpu.pipeline import SpeechRec
 
 
 class StreamingRecognizer:
-    def __init__(self, sr: SpeechRec, block_frames: int = 128):
+    def __init__(self, sr: SpeechRec, block_frames: int = 128,
+                 commit_horizon: "int | None" = None):
+        """``commit_horizon`` (phnloop decode only): opt-in fixed-lag
+        commit for UNBOUNDED live sessions — labels ending at least that
+        many frames behind the newest frame are committed and their
+        history blocks dropped (the reference's TimePruning ring,
+        phndec.cpp:191-234; the stkint path already commits via its
+        record horizon).  None keeps the whole history."""
         if sr.estimator is None:
             raise ValueError("streaming requires an enabled estimator")
         self.sr = sr
         self.block = block_frames
+        self.commit_horizon = commit_horizon
+        # fixed-lag commit state: committed labels, boundary frame,
+        # cumulative like at the boundary, first retained history row
+        self._committed: List[Label] = []
+        self._frame0 = 0
+        self._alpha0 = 0.0
+        self._row_offset = 0
         spec = sr.frontend.spec
         self.vs, self.step = spec.vector_size, spec.step
         self.trap_shift = sr.estimator.trap_shift
@@ -237,6 +251,7 @@ class StreamingRecognizer:
                     self._hist[i].append(a)
                 self._n_mel += self.block
                 self._n_decoded += self.block
+                self._maybe_commit()
             else:
                 self._push_mel(self._norm_host(
                     self._front_fn(jnp.asarray(span))))
@@ -312,6 +327,44 @@ class StreamingRecognizer:
         for i, a in enumerate(hist):
             self._hist[i].append(a[:, 0])
         self._n_decoded += int(lp.shape[0])
+        self._maybe_commit()
+
+    def _maybe_commit(self) -> None:
+        """Fixed-lag commit of the phnloop history (commit_horizon
+        mode): backtrack the retained window, move labels ending behind
+        the horizon into the committed prefix, and drop history blocks
+        whose rows are all committed — O(horizon) memory for unbounded
+        live sessions (TimePruning-ring semantics, phndec.cpp:191-234)."""
+        if self.commit_horizon is None or self._stk is not None:
+            return
+        retained = self._n_decoded - self._row_offset
+        if retained <= 2 * self.commit_horizon + self.block:
+            return
+        # one batched fetch; retained blocks become host arrays
+        fetched = jax.device_get(self._hist)
+        self._hist = [list(h) for h in fetched]
+        hist = phnloop.History(*(
+            np.concatenate(h)[: retained] for h in fetched))
+        labels = phnloop.backtrack_committed(
+            hist, self._row_offset, self._frame0, self._alpha0,
+            self.sr.phonemes)
+        horizon_end = self._n_decoded - self.commit_horizon
+        commit = [l for l in labels if l.end_frames <= horizon_end]
+        if not commit:
+            return
+        self._committed.extend(commit)
+        e = commit[-1].end_frames
+        self._alpha0 = float(np.asarray(hist.alpha)[
+            e - 1 - self._row_offset])
+        self._frame0 = e
+        while self._hist[0]:
+            blk_len = len(self._hist[0][0])
+            if self._row_offset + blk_len <= self._frame0:
+                for h in self._hist:
+                    h.pop(0)
+                self._row_offset += blk_len
+            else:
+                break
 
     def _run_stk_block(self, lp) -> None:
         import jax
@@ -432,14 +485,18 @@ class StreamingRecognizer:
         if self._stk is not None:
             return self._stk_results(settled_only)
         if not self._hist[0]:
-            return []
+            return list(self._committed)
         # ONE batched device->host transfer for the whole history (a
         # per-array np.asarray pays a round trip each; hours of audio
-        # accumulate hundreds of block arrays)
+        # accumulate hundreds of block arrays).  In commit_horizon mode
+        # the retained window stitches onto the committed prefix.
         fetched = jax.device_get(self._hist)
         hist = phnloop.History(
-            *(np.concatenate(h)[: self._n_decoded] for h in fetched))
-        labels = phnloop.backtrack(hist, self.sr.phonemes)
+            *(np.concatenate(h)[: self._n_decoded - self._row_offset]
+              for h in fetched))
+        labels = self._committed + phnloop.backtrack_committed(
+            hist, self._row_offset, self._frame0, self._alpha0,
+            self.sr.phonemes)
         if settled_only:
             tp = self.sr.cfg.get_int("decoder", "time_pruning")
             horizon = self._n_decoded - tp

@@ -128,3 +128,24 @@ def test_streaming_channel_config_and_switch(sr_en):
         sr_en.cfg.get_int("onlinenorm", "channel") == 0
     rec.set_channel(3)
     assert rec.online_norm.cur == 3 and 3 in rec.online_norm.channels
+
+
+def test_commit_horizon_single_stream(sr_en, offline_labels):
+    """Opt-in fixed-lag commit: history blocks drop as labels settle and
+    the stitched result equals the full decode."""
+    raw = open(TEST_RAW, "rb").read()
+    rec = StreamingRecognizer(sr_en, block_frames=32, commit_horizon=60)
+    max_blocks = 0
+    for i in range(0, len(raw), 4096):
+        rec.process(raw[i : i + 4096])
+        max_blocks = max(max_blocks, len(rec._hist[0]))
+        rec.results(settled_only=True)    # live polling mid-commit
+    labels = rec.finish()
+    assert rec._frame0 > 0, "no commit ever happened"
+    full = StreamingRecognizer(sr_en, block_frames=32)
+    full.process(raw)
+    full.finish()
+    assert max_blocks < len(full._hist[0]), "history did not stay bounded"
+    key = lambda ls: [(l.start_frames, l.end_frames, l.name)  # noqa: E731
+                      for l in ls]
+    assert key(labels) == key(offline_labels)
