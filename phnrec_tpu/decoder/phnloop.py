@@ -230,27 +230,10 @@ def backtrack(hist: History, phonemes: List[str]) -> List[Label]:
     winning record at the segment's end frame; its entry frame is the
     next (earlier) segment's end, and the predecessor phoneme is that
     frame's argmax — the chain always passes through per-frame winners.
+    (The degenerate window parameters make backtrack_committed exactly
+    this replay — one walk implementation to maintain.)
     """
-    max_phn = np.asarray(hist.max_phn)
-    ent = np.asarray(hist.ent)
-    alpha = np.asarray(hist.alpha)
-    T = max_phn.shape[0]
-    if T == 0:
-        return []
-
-    labels: List[Label] = []
-    end = T
-    while end > 0:
-        phn = int(max_phn[end - 1])
-        if phn < 0:
-            break
-        start = int(ent[end - 1])
-        prev_alpha = float(alpha[start - 1]) if start > 0 else 0.0
-        like = float(alpha[end - 1]) - prev_alpha
-        labels.append(Label(start, end, phonemes[phn], like))
-        end = start
-    labels.reverse()
-    return labels
+    return backtrack_committed(hist, 0, 0, 0.0, phonemes)
 
 
 def backtrack_committed(hist: History, row_offset: int, frame0: int,

@@ -159,6 +159,7 @@ def run_live(sr: SpeechRec, out_format: str = "str",
     emitted_keys: set = set()
     frontier = 0
     emitted_count = 0
+    stable_idx = 0     # labels[:stable_idx] are committed AND processed
 
     def emit_one(lab) -> None:
         # the threshold filter applies to EVERY live emission,
@@ -168,13 +169,27 @@ def run_live(sr: SpeechRec, out_format: str = "str",
         emit(format_live(lab, out_format))
 
     def emit_new(labels) -> None:
-        nonlocal frontier, emitted_count
+        nonlocal frontier, emitted_count, stable_idx
         if kws_mode:
             for lab in labels[emitted_count:]:
                 emit_one(lab)
             emitted_count = len(labels)
             return
-        for lab in labels:
+        # committed prefix first: immutable labels are processed ONCE
+        # (and their dedupe keys released), so per-poll work and the key
+        # set stay O(window) over an unbounded session, not O(session)
+        cc = rec.committed_count
+        for lab in labels[stable_idx:cc]:
+            key = (lab.start_frames, lab.end_frames, lab.name)
+            if key in emitted_keys:
+                emitted_keys.discard(key)     # emitted earlier as settled
+                continue
+            if lab.end_frames <= frontier:
+                continue
+            frontier = lab.end_frames
+            emit_one(lab)
+        stable_idx = cc
+        for lab in labels[stable_idx:]:
             key = (lab.start_frames, lab.end_frames, lab.name)
             if key in emitted_keys or lab.end_frames <= frontier:
                 continue

@@ -397,7 +397,17 @@ class MultiStreamRecognizer:
             horizon_end = int(self._n_dec[b]) - self.commit_horizon
             commit = [l for l in labels if l.end_frames <= horizon_end]
             if not commit:
-                continue
+                # FORCED boundary (the reference's ring cannot hold a
+                # segment longer than its lag either): split the label
+                # spanning the horizon; its like telescopes exactly
+                if not labels or labels[0].start_frames >= horizon_end:
+                    continue
+                l0 = labels[0]
+                like = float(np.asarray(hist_b.alpha)[
+                    horizon_end - 1 - int(self._row_offset[b])]) \
+                    - float(self._alpha0[b])
+                commit = [Label(l0.start_frames, horizon_end, l0.name,
+                                like)]
             self._committed[b].extend(commit)
             e = commit[-1].end_frames
             self._alpha0[b] = float(np.asarray(hist_b.alpha)[
@@ -412,6 +422,26 @@ class MultiStreamRecognizer:
                 self._hist.pop(0)
             else:
                 break
+        self._rebase_alphas()
+
+    def _rebase_alphas(self) -> None:
+        """Subtract each stream's committed like from its retained
+        scores (shift-invariant recurrence): |alpha| stays bounded by
+        the window like over multi-day sessions, where session-
+        cumulative float32 scores would quantize below log(0.5)."""
+        r = self._alpha0.astype(np.float32)
+        if not r.any():
+            return
+        alphas, ent = self._carry
+        rv = jnp.asarray(r)[None, None, :]
+        self._carry = (jnp.where(
+            alphas <= jnp.float32(phnloop.NEG_INF / 2), alphas,
+            alphas - rv), ent)
+        self._hist = [
+            (phnloop.History(h.max_phn, h.ent,
+                             h.alpha - r[None, :]), v)
+            for h, v in self._hist]
+        self._alpha0[:] = 0.0
 
     def shard_audio(self, audio) -> "jnp.ndarray":
         """Place an [N, L] sample buffer with the stream axis sharded
@@ -461,6 +491,7 @@ class MultiStreamRecognizer:
         self._n_mel += n_blocks * self.block
         self._n_dec += valid
         self._primed_host[:] = True
+        self._maybe_commit()
 
     def dispatch_from_device_buffer(self, audio_dev, sample_offset: int
                                     ) -> None:

@@ -194,6 +194,13 @@ class StreamingRecognizer:
                 self._stk_xform = StreamingXform(
                     self._stk.model_set.input_xform)
 
+    @property
+    def committed_count(self) -> int:
+        """Leading labels of results() that are COMMITTED (immutable):
+        live emitters can skip re-scanning them on every poll."""
+        return len(self._stk_committed if self._stk is not None
+                   else self._committed)
+
     def set_channel(self, cid: int) -> None:
         """Switch the online-normalization channel for subsequent audio
         (multi-channel sources: each channel carries its own running
@@ -334,7 +341,15 @@ class StreamingRecognizer:
         mode): backtrack the retained window, move labels ending behind
         the horizon into the committed prefix, and drop history blocks
         whose rows are all committed — O(horizon) memory for unbounded
-        live sessions (TimePruning-ring semantics, phndec.cpp:191-234)."""
+        live sessions (TimePruning-ring semantics, phndec.cpp:191-234).
+
+        The commit is FORCED, like the reference's ring: a segment
+        spanning the whole horizon (long silence) is split at the
+        horizon boundary (its like telescopes exactly across the split),
+        so the window can never grow unboundedly.  Committed alphas are
+        REBASED out of the carried scores so cumulative float32 path
+        likes stay small over multi-day sessions (the recurrence is
+        shift-invariant)."""
         if self.commit_horizon is None or self._stk is not None:
             return
         retained = self._n_decoded - self._row_offset
@@ -351,7 +366,13 @@ class StreamingRecognizer:
         horizon_end = self._n_decoded - self.commit_horizon
         commit = [l for l in labels if l.end_frames <= horizon_end]
         if not commit:
-            return
+            # forced boundary: split the label spanning the horizon
+            if not labels or labels[0].start_frames >= horizon_end:
+                return
+            l0 = labels[0]
+            like = float(np.asarray(hist.alpha)[
+                horizon_end - 1 - self._row_offset]) - self._alpha0
+            commit = [Label(l0.start_frames, horizon_end, l0.name, like)]
         self._committed.extend(commit)
         e = commit[-1].end_frames
         self._alpha0 = float(np.asarray(hist.alpha)[
@@ -365,6 +386,24 @@ class StreamingRecognizer:
                 self._row_offset += blk_len
             else:
                 break
+        self._rebase_alphas()
+
+    def _rebase_alphas(self) -> None:
+        """Subtract the committed like (alpha0) from every retained
+        score — the Viterbi recurrence is shift-invariant, so this keeps
+        |alpha| bounded by the window's like instead of the session's
+        (float32 ULP at ~2e7 exceeds log(0.5), which would corrupt
+        multi-day decodes)."""
+        r = np.float32(self._alpha0)
+        if r == 0.0:
+            return
+        alphas, ent = self._carry
+        # keep the -FLT_MAX sentinel out of the shift (it would overflow
+        # to -inf); every real score shifts by -alpha0
+        self._carry = (jnp.where(alphas <= jnp.float32(phnloop.NEG_INF / 2),
+                                 alphas, alphas - jnp.float32(r)), ent)
+        self._hist[2] = [a - r for a in self._hist[2]]
+        self._alpha0 = 0.0
 
     def _run_stk_block(self, lp) -> None:
         import jax

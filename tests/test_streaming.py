@@ -149,3 +149,47 @@ def test_commit_horizon_single_stream(sr_en, offline_labels):
     key = lambda ls: [(l.start_frames, l.end_frames, l.name)  # noqa: E731
                       for l in ls]
     assert key(labels) == key(offline_labels)
+
+
+def test_commit_horizon_forced_split(sr_en):
+    """A segment spanning the whole horizon (constant audio -> one long
+    phone) must FORCE a boundary (the reference's ring cannot hold a
+    longer segment either): history stays bounded, coverage stays
+    contiguous, and merging adjacent same-name splits reproduces the
+    full decode with telescoped likes."""
+    rng = np.random.default_rng(2)
+    # low-level constant-ish noise: the loop settles into long segments
+    raw = (rng.normal(0, 40, 16000 * 6).astype("<i2")).tobytes()
+    com = StreamingRecognizer(sr_en, block_frames=32, commit_horizon=40)
+    max_blocks = 0
+    for i in range(0, len(raw), 4096):
+        com.process(raw[i : i + 4096])
+        max_blocks = max(max_blocks, len(com._hist[0]))
+    got = com.finish()
+    full = StreamingRecognizer(sr_en, block_frames=32)
+    full.process(raw)
+    want = full.finish()
+    assert com._frame0 > 0
+    assert max_blocks <= (2 * 40 + 32) // 32 + 3, "window not bounded"
+    # contiguous coverage
+    assert got[0].start_frames == want[0].start_frames
+    assert got[-1].end_frames == want[-1].end_frames
+    for a, b in zip(got, got[1:]):
+        assert a.end_frames == b.start_frames
+
+    def merged(ls):
+        out = []
+        for l in ls:
+            if out and out[-1].name == l.name and \
+                    out[-1].end_frames == l.start_frames:
+                prev = out.pop()
+                out.append(type(l)(prev.start_frames, l.end_frames,
+                                   l.name, prev.score + l.score))
+            else:
+                out.append(l)
+        return out
+    gm, wm = merged(got), merged(want)
+    assert [(l.start_frames, l.end_frames, l.name) for l in gm] == \
+        [(l.start_frames, l.end_frames, l.name) for l in wm]
+    np.testing.assert_allclose([l.score for l in gm],
+                               [l.score for l in wm], atol=2e-2)
