@@ -57,11 +57,18 @@ class MultiStreamRecognizer:
         serving sessions — labels ending at least ``commit_horizon``
         frames behind each stream's newest frame are committed and their
         history rows dropped (the reference's TimePruning ring,
-        phndec.cpp:191-234), bounding memory at O(horizon) per stream
-        instead of O(session).  Like the reference's forced commit, a
-        later global-best-path shift cannot rewrite the committed
-        prefix.  None (default) keeps the full history (exact full
-        backtrack at finish)."""
+        phndec.cpp:191-234), bounding RETAINED history at O(horizon) per
+        stream instead of O(session); segments spanning the horizon are
+        force-split at the boundary (exactly-telescoping likes) and
+        committed scores are rebased out of the carry so float32 stays
+        healthy over multi-day sessions.  Like the reference's forced
+        commit, a later global-best-path shift cannot rewrite the
+        committed prefix.  Residual costs: a stream fed much more slowly
+        than its peers raises the retained-block constant (its horizon
+        spans more wall blocks), and the committed LABEL lists grow with
+        the session — they are the requested output; a serving loop that
+        drains them can pop from ``self._committed[b]``.  None (default)
+        keeps the full history (exact full backtrack at finish)."""
         if sr.estimator is None:
             raise ValueError("streaming requires an enabled estimator")
         self._check_decoder(sr)
