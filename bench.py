@@ -41,7 +41,7 @@ def _golden_segments():
     return segs
 
 
-def _run_companion(timeout_s: float = 420.0) -> dict:
+def _run_companion(timeout_s: float = 540.0) -> dict:
     """Real-pipeline companion metric (mixed-length corpus from disk; see
     benchmarks/mixed_length.py), run as a KILLABLE SUBPROCESS before this
     process touches the TPU — a watchdog thread cannot be cancelled and

@@ -12,13 +12,16 @@ padding waste lowers the reported rate — the gap to the hero number is
 the loader/bucketing overhead.
 
 Through the dev tunnel this metric is host->device-bandwidth-bound
-(~30 MB/s): lin16 ships 16 kB per audio-second (int16 on the link, cast
-on device), bounding it near ~1.9k au-s/s.  The alaw companion ships raw
-uint8 codes (8 kB/au-s, decoded by a device table gather exactly as
-srec.cpp:769) — half the bytes, so ~2x the corpus rate, demonstrating
-that the link, not the chip, is the limit and that H2D (next batch)
-overlaps device compute (the loader prefetches and the decode loop keeps
-one batch in flight).
+(~30 MB/s nominal, swinging 2-4x between minutes): lin16 ships 16 kB per
+audio-second (int16 on the link, cast on device, bound ~1.9k au-s/s at
+30 MB/s), alaw ships raw uint8 codes (8 kB/au-s, decoded by a device
+table gather exactly as srec.cpp:769, bound ~3.8k).  Because the link
+weather swings faster than a benchmark runs, the timed passes are
+INTERLEAVED A/B/A/B (lin16, alaw, lin16, ...) and each pass is bracketed
+by a direct H2D bandwidth probe (a timed device_put of a known-size
+buffer, int16 and uint8 separately) — the JSON then attributes each
+format's rate to the link state it actually saw (``*_h2d_mbps``,
+``*_link_eff`` = achieved au-s/s over that phase's link-bound au-s/s).
 
 Usage: python benchmarks/mixed_length.py [n_utts]
 Prints one JSON line; also importable (run()) from bench.py.
@@ -119,58 +122,59 @@ def _mlf_labels(mlf_path: str, stem: str):
     raise KeyError(stem)
 
 
-def _time_filelist(sr, corpus, tag: str, iters: int,
-                   golden_fn) -> tuple[float, float]:
-    """Warm + median-time process_file_list over the corpus; returns
-    (audio_seconds, median_seconds)."""
-    import gc
+def probe_h2d(dtype, nbytes: int = 12 << 20) -> float:
+    """Achieved host->device bandwidth RIGHT NOW for the given payload
+    dtype, in bytes/s: one timed blocking device_put of a known-size
+    buffer.  The transfer (~0.4 s at 30 MB/s) dwarfs dispatch noise, so
+    a single blocking timing is sound here (unlike compute timings).
+    int16 vs uint8 probes separately expose any per-ELEMENT (rather than
+    per-byte) transport cost that would erase alaw's half-the-bytes
+    advantage."""
+    import jax
 
-    lst = f"/tmp/phnrec_mixed_{tag}.list"
-    with open(lst, "w") as f:
-        f.write("\n".join(corpus) + "\n")
-    audio_s = sum(os.path.getsize(p) for p in corpus) / 8000.0
-    if tag == "lin16":
-        audio_s /= 2.0
+    n = nbytes // np.dtype(dtype).itemsize
+    buf = np.zeros(n, dtype)
+    t0 = time.perf_counter()
+    jax.device_put(buf).block_until_ready()
+    return nbytes / (time.perf_counter() - t0)
+
+
+def _one_pass(sr, lst: str, tag: str, it: int) -> float:
+    """One timed process_file_list pass -> seconds."""
+    t0 = time.perf_counter()
     sr.process_file_list("wf", "str", lst,
-                         mlf_path=f"/tmp/phnrec_mixed_{tag}_warm.mlf")
-    golden_fn(f"/tmp/phnrec_mixed_{tag}_warm.mlf")
-    gc.disable()
-    times = []
-    for it in range(iters):
-        t0 = time.perf_counter()
-        sr.process_file_list("wf", "str", lst,
-                             mlf_path=f"/tmp/phnrec_mixed_{tag}_{it}.mlf")
-        times.append(time.perf_counter() - t0)
-    gc.enable()
-    golden_fn(f"/tmp/phnrec_mixed_{tag}_{iters - 1}.mlf")
-    # report the median; the caller also surfaces best-of — this metric
-    # is host->device-link-bound and the dev tunnel's bandwidth swings
-    # 2-4x between minutes (measured 1.2k..3.2k au-s/s across runs on
-    # identical code), so a single median can misrepresent the pipeline
-    return audio_s, sorted(times)[len(times) // 2], min(times)
+                         mlf_path=f"/tmp/phnrec_mixed_{tag}_{it}.mlf")
+    return time.perf_counter() - t0
 
 
 def run(n_utts: int = 1024, iters: int = 3) -> dict:
+    import gc
+
     from phnrec_tpu.pipeline import SpeechRec
 
-    # -- lin16 corpus through the CLI file-list path
-    corpus = build_corpus("/tmp/phnrec_mixed_corpus", n_utts)
-    sr = SpeechRec(CZ_PKG)
     golden = _golden_segments()
+
+    # -- lin16 corpus + recognizer
+    corpus = build_corpus("/tmp/phnrec_mixed_corpus", n_utts)
+    sr_l = SpeechRec(CZ_PKG)
+    lst_l = "/tmp/phnrec_mixed_lin16.list"
+    with open(lst_l, "w") as f:
+        f.write("\n".join(corpus) + "\n")
+    audio_l = sum(os.path.getsize(p) for p in corpus) / 2.0 / 8000.0
 
     def check_lin16(mlf_path):
         got = [(l.start_frames, l.end_frames, l.name)
                for l in _mlf_labels(mlf_path, "utt_00000")]
         assert got == golden, "mixed-length decode lost golden"
 
-    audio_s, dt, dt_best = _time_filelist(sr, corpus, "lin16", iters,
-                                          check_lin16)
-    value = audio_s / dt
-
-    # -- alaw corpus: half the link bytes -> ~2x through the tunnel
+    # -- alaw corpus + recognizer
     corpus_a = build_corpus("/tmp/phnrec_mixed_corpus_alaw", n_utts,
                             fmt="alaw")
     sr_a = SpeechRec(_alaw_package("/tmp/phnrec_mixed_corpus_alaw"))
+    lst_a = "/tmp/phnrec_mixed_alaw.list"
+    with open(lst_a, "w") as f:
+        f.write("\n".join(corpus_a) + "\n")
+    audio_a = sum(os.path.getsize(p) for p in corpus_a) / 8000.0
     # anchor: the batched path must equal the serial path on the SAME
     # alaw bytes (alaw encoding is lossy, so the lin16 golden does not
     # transfer; path equivalence is the invariant)
@@ -183,20 +187,52 @@ def run(n_utts: int = 1024, iters: int = 3) -> dict:
                for l in _mlf_labels(mlf_path, "utt_00000")]
         assert got == want_a, "alaw batched decode diverged from serial"
 
-    audio_a, dt_a, dt_a_best = _time_filelist(sr_a, corpus_a, "alaw",
-                                              iters, check_alaw)
-    value_a = audio_a / dt_a
+    # warm both paths (compiles + file cache), golden-check each
+    _one_pass(sr_l, lst_l, "lin16", 99)
+    check_lin16("/tmp/phnrec_mixed_lin16_99.mlf")
+    _one_pass(sr_a, lst_a, "alaw", 99)
+    check_alaw("/tmp/phnrec_mixed_alaw_99.mlf")
 
+    # link-bound au-s/s per achieved link byte/s: lin16 ships 2 B/sample,
+    # alaw 1 B/sample, both at 8 kHz
+    bound_per_bps = {"lin16": 1.0 / 16000.0, "alaw": 1.0 / 8000.0}
+    times = {"lin16": [], "alaw": []}
+    h2d = {"lin16": [], "alaw": []}
+    eff = {"lin16": [], "alaw": []}
+    gc.disable()
+    # INTERLEAVED A/B passes so tunnel weather hits both formats alike;
+    # each pass bracketed by a same-dtype H2D probe for attribution
+    for it in range(iters):
+        for tag, sr, lst, audio_s, dtype in (
+                ("lin16", sr_l, lst_l, audio_l, np.int16),
+                ("alaw", sr_a, lst_a, audio_a, np.uint8)):
+            bw = probe_h2d(dtype)
+            dt = _one_pass(sr, lst, tag, it)
+            times[tag].append(audio_s / dt)
+            h2d[tag].append(bw)
+            eff[tag].append((audio_s / dt) / (bw * bound_per_bps[tag]))
+    gc.enable()
+    check_lin16(f"/tmp/phnrec_mixed_lin16_{iters - 1}.mlf")
+    check_alaw(f"/tmp/phnrec_mixed_alaw_{iters - 1}.mlf")
+
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    value, value_a = med(times["lin16"]), med(times["alaw"])
     from bench import BASELINE_AUDIO_SEC_PER_S
     return {
         "metric": "audio_sec_per_s_per_chip_mixed_corpus_to_mlf",
         "value": round(value, 2),
         "unit": "audio-seconds/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 2),
-        "value_best": round(audio_s / dt_best, 2),
+        "value_best": round(max(times["lin16"]), 2),
         "alaw_value": round(value_a, 2),
-        "alaw_value_best": round(audio_a / dt_a_best, 2),
+        "alaw_value_best": round(max(times["alaw"]), 2),
         "alaw_vs_lin16": round(value_a / value, 2),
+        # attribution: the link state each phase actually saw, and how
+        # close each format ran to ITS link bound at that bandwidth
+        "lin16_h2d_mbps": [round(b / 1e6, 1) for b in h2d["lin16"]],
+        "alaw_h2d_mbps": [round(b / 1e6, 1) for b in h2d["alaw"]],
+        "lin16_link_eff": [round(e, 2) for e in eff["lin16"]],
+        "alaw_link_eff": [round(e, 2) for e in eff["alaw"]],
     }
 
 

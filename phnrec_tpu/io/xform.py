@@ -313,6 +313,51 @@ def apply_instance_stateful(inst: XformInstance, st, x: jnp.ndarray):
     return (in_st, xf_st), y
 
 
+def apply_xform_stateful_ragged(xf: Xform, st, x: jnp.ndarray, n_valid):
+    """apply_xform_stateful with a TRACED valid-row count: only the first
+    ``n_valid`` rows of ``x`` are real frames (the multi-stream ragged
+    block convention — valid rows lead, the rest are padding).  The
+    delay-line state advances by exactly ``n_valid`` frames, so a stream
+    that idles through a dispatch keeps its stacks intact; output rows
+    >= n_valid are garbage (masked downstream by the caller's liveness).
+    With n_valid == T this equals apply_xform_stateful."""
+    if xf.kind == "stacking":
+        K = xf.stack_size
+        T = x.shape[0]
+        ctx = jnp.concatenate([st, x], axis=0)       # [K-1+T, in]
+        out = jnp.concatenate([ctx[k : k + T] for k in range(K)], axis=1)
+        new_st = jax.lax.dynamic_slice(
+            ctx, (n_valid.astype(jnp.int32), jnp.int32(0)),
+            (K - 1, xf.in_size))
+        return new_st, out
+    if xf.kind == "composite":
+        new_state = []
+        for layer, lst in zip(xf.layers, st):
+            outs = []
+            nls = []
+            off = 0
+            for b, bst in zip(layer, lst):
+                bst, y = apply_xform_stateful_ragged(
+                    b, bst, x[:, off:off + b.in_size], n_valid)
+                outs.append(y)
+                nls.append(bst)
+                off += b.in_size
+            x = jnp.concatenate(outs, axis=1)
+            new_state.append(nls)
+        return new_state, x
+    return st, apply_xform(xf, x)
+
+
+def apply_instance_stateful_ragged(inst: XformInstance, st, x: jnp.ndarray,
+                                   n_valid):
+    in_st, xf_st = st
+    if inst.input is not None:
+        in_st, x = apply_instance_stateful_ragged(inst.input, in_st, x,
+                                                  n_valid)
+    xf_st, y = apply_xform_stateful_ragged(inst.xform, xf_st, x, n_valid)
+    return (in_st, xf_st), y
+
+
 class StreamingXform:
     """Stateful wrapper used by the streaming stkint path: feed chunks,
     get transformed chunks equal to the whole-utterance apply_instance."""

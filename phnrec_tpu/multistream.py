@@ -253,14 +253,43 @@ class MultiStreamRecognizer:
         self._fused_from_buffer = _fused_from_buffer
         self._fused_flush = _fused_flush
 
-    # -- decoder hooks (overridden by MultiStreamKWS) --------------------
+    # -- decoder hooks (overridden by the stkint subclasses) -------------
     def _check_decoder(self, sr: SpeechRec) -> None:
         if sr.stk_decoder is not None:
             raise ValueError(
                 "MultiStreamRecognizer serves the phnloop decoder; for "
-                "stkint KWS packages use MultiStreamKWS (stkint "
-                "decode-mode streams: one StreamingRecognizer per "
-                "stream, or the offline decode_batch)")
+                "stkint packages use MultiStreamStkDecode (decode mode) "
+                "or MultiStreamKWS (kws mode)")
+
+    # -- shared InputXform delay-line carry (stkint subclasses) ----------
+    # the reference applies the global <InputXform> per frame with live
+    # delay-line memory (ModelSet::UpdateStacks from every ViterbiStep,
+    # Viterbi.cc:2068); here each stream carries its stacking FIFOs
+    # [N, K-1, D] inside the fused dispatch and advances them by exactly
+    # its valid-row count (ragged blocks)
+    _xform_inst = None
+
+    def _xform_state0(self):
+        if self._xform_inst is None:
+            return ()
+        from phnrec_tpu.io.xform import instance_init_state
+        st = instance_init_state(self._xform_inst)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim), st)
+
+    def _apply_xform(self, xst, lp, n_valid):
+        """Per-stream stateful InputXform over a ragged block: rows
+        >= n_valid[b] in stream b are padding and do not advance the
+        delay lines."""
+        if self._xform_inst is None:
+            return xst, lp
+        from phnrec_tpu.io.xform import apply_instance_stateful_ragged
+        inst = self._xform_inst
+
+        def one(st, x, nv):
+            return apply_instance_stateful_ragged(inst, st, x, nv)
+
+        return jax.vmap(one)(xst, lp, n_valid)
 
     def _init_decode_carry(self):
         return phnloop.init_carry(self.sr.loop_spec, self.n)

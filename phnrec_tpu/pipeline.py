@@ -317,7 +317,11 @@ class SpeechRec:
             for idx, labs in zip(batch.indices, labels):
                 results[idx] = labs
 
-        pending = None
+        # keep TWO batches in flight: each finish() blocks the host on a
+        # D2H round trip whose latency (~90 ms over the dev tunnel) would
+        # otherwise serialize against the next batch's H2D — with depth 2
+        # the fetch latency rides under two batches' transfers+compute
+        inflight: list = []
         for batch in loader:
             self.log_fn("".join(
                 f"{s} -> {t}\n" for s, t in
@@ -330,11 +334,11 @@ class SpeechRec:
             segs = bp._core(jnp.asarray(batch.wave),
                             jnp.asarray(n_frames), max_frames, ns)
             fetched = phnloop.fetch_segments_start(segs)
-            if pending is not None:
-                finish(pending)
-            pending = (batch, fetched, n_frames)
-        if pending is not None:
-            finish(pending)
+            inflight.append((batch, fetched, n_frames))
+            if len(inflight) > 2:
+                finish(inflight.pop(0))
+        for p in inflight:
+            finish(p)
 
         mlf = MLFWriter(mlf_path) if mlf_path else None
         try:
