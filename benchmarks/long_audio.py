@@ -88,21 +88,49 @@ def _build_kws_package(root: str) -> str:
     return pkg
 
 
+def _build_stkint_package(root: str) -> str:
+    """CZ package clone with decoder/type=stkint (the shipped phoneme-
+    loop STK network drives the generic word-network decoder), for the
+    multi-stream stkint DECODE serving benchmark.  Idempotent."""
+    import re
+    import shutil
+    pkg = os.path.join(root, "pkg_stkint")
+    if os.path.exists(os.path.join(pkg, "config")):
+        return pkg
+    shutil.rmtree(pkg, ignore_errors=True)
+    tmp = pkg + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for entry in os.listdir(CZ_PKG):
+        if entry != "config":
+            os.symlink(os.path.join(CZ_PKG, entry),
+                       os.path.join(tmp, entry))
+    cfg = open(os.path.join(CZ_PKG, "config")).read()
+    cfg = re.sub(r"(?m)^type=phndec$", "type=stkint", cfg)
+    with open(os.path.join(tmp, "config"), "w") as f:
+        f.write(cfg)
+    os.rename(tmp, pkg)
+    return pkg
+
+
 def run_multistream(n_streams: int, minutes_per_stream: float,
                     pkg: str = CZ_PKG, block: int = 512,
-                    kws: bool = False) -> dict:
+                    kws: bool = False, stkint: bool = False) -> dict:
     """N concurrent streams, pre-staged HBM audio, one fused dispatch per
     block; timed over the steady-state dispatch loop + finish."""
     import jax
     import jax.numpy as jnp
 
     from phnrec_tpu.multistream import (MultiStreamKWS,
-                                        MultiStreamRecognizer)
+                                        MultiStreamRecognizer,
+                                        MultiStreamStkDecode)
     from phnrec_tpu.pipeline import SpeechRec
 
     if kws and pkg == CZ_PKG:
         # default package only: a user-supplied kws package wins
         pkg = _build_kws_package("/tmp/phnrec_kws_bench")
+    if stkint and pkg == CZ_PKG:
+        pkg = _build_stkint_package("/tmp/phnrec_stkint_bench")
     sr = SpeechRec(pkg)
     rate = sr.cfg.get_int("source", "sample_freq")
     spec = sr.frontend.spec
@@ -120,11 +148,20 @@ def run_multistream(n_streams: int, minutes_per_stream: float,
     n_blocks = (L - (spec.vector_size - spec.step)) // spb
 
     dev = jax.device_put(jnp.asarray(audio))   # pre-staged once, untimed
-    cls = MultiStreamKWS if kws else MultiStreamRecognizer
+    cls = (MultiStreamKWS if kws else
+           MultiStreamStkDecode if stkint else MultiStreamRecognizer)
+
+    # stkint decode retains traceback records in HBM until the fixed-lag
+    # commit drops them; dispatch in bounded multi-block chunks so
+    # retention stays O(horizon) (phnloop/KWS history is tiny — one
+    # whole-session dispatch is fine there)
+    cblocks = (max(1, 4096 // block) if stkint else n_blocks)
 
     def one_pass():
         ms = cls(sr, n_streams=n_streams, block_frames=block)
-        ms.decode_device_buffer(dev, n_blocks)
+        for k0 in range(0, n_blocks, cblocks):
+            ms.decode_device_buffer(dev, min(cblocks, n_blocks - k0),
+                                    first_block=k0)
         return ms.finish()
 
     one_pass()                       # warmup: compile everything
@@ -134,7 +171,8 @@ def run_multistream(n_streams: int, minutes_per_stream: float,
     total_audio = n_streams * L / rate
     return {
         "metric": ("multistream_kws_audio_sec_per_s" if kws else
-                   "multistream_streaming_audio_sec_per_s"),
+                   "multistream_stkint_decode_audio_sec_per_s" if stkint
+                   else "multistream_streaming_audio_sec_per_s"),
         "streams": n_streams,
         "minutes_per_stream": minutes_per_stream,
         "block_frames": block,
@@ -147,6 +185,7 @@ def run_multistream(n_streams: int, minutes_per_stream: float,
 def main() -> None:
     streams = 0
     kws = "--kws" in sys.argv
+    stkint = "--stkint" in sys.argv
     skip = set()
     for i, a in enumerate(sys.argv):
         if a == "--streams":
@@ -157,15 +196,15 @@ def main() -> None:
             skip.add(i)
     args = [a for i, a in enumerate(sys.argv) if i > 0 and i not in skip
             and not a.startswith("--")]
-    if kws and not streams:
-        sys.exit("--kws requires --streams N (the multi-stream KWS "
-                 "serving benchmark)")
+    if (kws or stkint) and not streams:
+        sys.exit("--kws/--stkint require --streams N (the multi-stream "
+                 "serving benchmarks)")
     if streams:
         minutes = float(args[0]) if args else 10.0
         pkg = args[1] if len(args) > 1 else CZ_PKG
         block = int(os.environ.get("LONG_AUDIO_BLOCK", "512"))
         print(json.dumps(run_multistream(streams, minutes, pkg, block,
-                                         kws=kws)))
+                                         kws=kws, stkint=stkint)))
         return
     hours = float(args[0]) if args else 1.0
     pkg = args[1] if len(args) > 1 else CZ_PKG

@@ -325,6 +325,29 @@ def max_segments(spec: PhnLoopSpec, max_frames: int) -> int:
     return max_frames // spec.n_states + 1
 
 
+def backtrack_device_committed(spec: PhnLoopSpec, hist: History,
+                               n_frames: jnp.ndarray,
+                               frame0: jnp.ndarray,
+                               row_offset: jnp.ndarray,
+                               unroll: int = 4) -> Segments:
+    """backtrack_device over a RETAINED window: row i of ``hist`` holds
+    global frame ``row_offset[b] + i`` of stream b; the walk stops at the
+    committed boundary ``frame0[b]`` (global), clamping the earliest
+    segment's start to it (the forced-commit clamp of
+    backtrack_committed).  History.ent values are GLOBAL; they are
+    rebased to window rows on device (clipped at the boundary), so the
+    packing headroom constrains only the WINDOW length, not the session.
+    Emitted Segments carry window-relative starts; callers add
+    row_offset back when formatting."""
+    f0r = jnp.maximum(frame0 - row_offset, 0).astype(jnp.int32)  # [B]
+    ent_rel = jnp.maximum(
+        hist.ent - row_offset[None, :].astype(hist.ent.dtype),
+        f0r[None, :]).astype(jnp.int32)
+    return _backtrack_device_impl(
+        spec, History(hist.max_phn, ent_rel, hist.alpha), n_frames, f0r,
+        unroll)
+
+
 def backtrack_device(spec: PhnLoopSpec, hist: History,
                      n_frames: jnp.ndarray, unroll: int = 4) -> Segments:
     """PhnDec::Done (phndec.cpp:236-302) as an on-device reverse scan.
@@ -344,6 +367,14 @@ def backtrack_device(spec: PhnLoopSpec, hist: History,
     packed into one int32 word up front, so a step is exactly two
     cross-lane gathers ([T, B] ids and alphas at per-lane rows).
     """
+    return _backtrack_device_impl(
+        spec, hist, n_frames,
+        jnp.zeros(hist.max_phn.shape[1], jnp.int32), unroll)
+
+
+def _backtrack_device_impl(spec: PhnLoopSpec, hist: History,
+                           n_frames: jnp.ndarray, f0: jnp.ndarray,
+                           unroll: int) -> Segments:
     T, B = hist.max_phn.shape
     Smax = max_segments(spec, T)
     start_dtype = jnp.int16 if T < 2 ** 15 else jnp.int32
@@ -355,10 +386,11 @@ def backtrack_device(spec: PhnLoopSpec, hist: History,
 
     def step(end, _):
         t = jnp.maximum(end - 1, 0)[None, :]
-        active = end > 0
+        active = end > f0
         w = jnp.take_along_axis(ids, t, axis=0)[0]
         a = jnp.take_along_axis(hist.alpha, t, axis=0)[0]
-        start = jnp.where(active, w & ((1 << 20) - 1), end)
+        start = jnp.where(active,
+                          jnp.maximum(w & ((1 << 20) - 1), f0), end)
         out = (active, (w >> 20).astype(jnp.int8),
                start.astype(start_dtype), a)
         return start, out
@@ -428,13 +460,21 @@ def fetch_segments(segs: Segments, cap: int = 128) -> Segments:
 
 
 def labels_from_segments(segs: Segments, n_frames: np.ndarray,
-                         phonemes: List[str]) -> List[List[Label]]:
+                         phonemes: List[str],
+                         row_offset: "np.ndarray | None" = None
+                         ) -> List[List[Label]]:
     """Host-side formatting of device-backtracked segments (reverse time
     order) into per-utterance Label lists.  Segment j's end frame is
     segment j-1's start (j=0 ends at n_frames); its like is the alpha
-    delta to the previous-in-time segment (initial mPrevAlpha = 0)."""
+    delta to the previous-in-time segment (initial mPrevAlpha = 0).
+
+    ``row_offset`` (per row): segments came from a retained WINDOW whose
+    row 0 is that global frame — starts shift by it, and ``n_frames``
+    is then the GLOBAL end frame per row."""
     counts = np.asarray(segs.count)
     start = np.asarray(segs.start, dtype=np.int64)
+    if row_offset is not None:
+        start = start + np.asarray(row_offset, np.int64)[:, None]
     alpha_end = np.asarray(segs.alpha_end, dtype=np.float64)
     B = counts.shape[0]
     # all four Label fields vectorized in numpy, then flipped to time

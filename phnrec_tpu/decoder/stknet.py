@@ -666,7 +666,8 @@ class NetworkDecoder:
         return jax.vmap(one)(obs_state, n_valid)
 
     @partial(jax.jit, static_argnums=0)
-    def _traceback_batch(self, recs, n_valid: jnp.ndarray):
+    def _traceback_batch(self, recs, n_valid: jnp.ndarray,
+                         frame0: "jnp.ndarray | None" = None):
         """Device-side replay of decode()'s host walk, vmapped over rows.
 
         Each reverse step consumes exactly one frame: either an in-model
@@ -674,49 +675,66 @@ class NetworkDecoder:
         one closure edge (cm_am at the previous frame).  Emits per frame
         the crossed closure-edge id (-1 if none) and the entry value at
         the crossing — the host expands edge ids to word sequences.
-        Returns (ok, sink_edge, sink_val, edge_ids [T], edge_vals [T])."""
+        Returns (ok, sink_edge, sink_val, edge_ids [T], edge_vals [T]).
+
+        ``frame0`` (per row, default -1): committed fixed-lag boundary in
+        WINDOW-relative frames — crossings at t <= frame0 are suppressed
+        (their words were already emitted with the committed prefix) and
+        the walk stops there, the forced-commit semantics of the
+        reference's TimePruning ring (Viterbi.cc:65-125).  -1 means row 0
+        is the true utterance start (the t=0 crossing walks the recorded
+        entry_edge — for a continuation window that record holds the
+        closure argmax of the last pre-window frame, so the same code
+        path serves both)."""
         c = self.c
         T = recs["in_am"].shape[1]
         n_cm = max(len(self.cm), 1)
+        if frame0 is None:
+            frame0 = jnp.full(n_valid.shape, -1, jnp.int32)
 
-        def one(rec, nv):
+        def one(rec, nv, f0):
             last = jnp.maximum(nv - 1, 0)
-            sink_edge = rec["cs_am"][last, c.terminal_sink]
+            sink_edge = rec["cs_am"][last, c.terminal_sink].astype(jnp.int32)
             sink_val = rec["sink_val"][last, c.terminal_sink]
             ok = (nv > 0) & (sink_val > NEG / 2)
             e0 = sink_edge.clip(0, max(self.cs_src.shape[0] - 1, 0))
             model0 = jnp.where(ok, self.cs_src[e0], -1)
             st0 = jnp.where(
                 model0 >= 0,
-                self.ex_src[rec["ex_am"][last, model0.clip(0)]], 0)
+                self.ex_src[rec["ex_am"][last, model0.clip(0)]
+                            .astype(jnp.int32)], 0)
 
             def rstep(carry, t):
                 state, model, active = carry
                 # skip padded frames (t >= nv) and finished rows
                 live = active & (t < nv) & (model >= 0)
-                k = rec["in_am"][t, state]
+                k = rec["in_am"][t, state].astype(jnp.int32)
                 is_entry = self.in_entry[k]
                 # in-model hop
                 nxt_state = self.in_src_s_dev[k]
                 # entry hop: cross the closure edge taken at frame t-1
                 m = self.in_src_m_dev[k]
                 ek = jnp.where(t == 0, rec["entry_edge"][0, m],
-                               rec["cm_am"][jnp.maximum(t - 1, 0), m])
+                               rec["cm_am"][jnp.maximum(t - 1, 0), m]
+                               ).astype(jnp.int32)
                 ek = ek.clip(0, n_cm - 1)
                 eval_ = rec["entry_val"][t, m]
                 src_model = self.cm_src[ek]
                 # after crossing: resume at src model's exit state (t-1)
                 tm1 = jnp.maximum(t - 1, 0)
                 res_state = self.ex_src[
-                    rec["ex_am"][tm1, src_model.clip(0)]]
+                    rec["ex_am"][tm1, src_model.clip(0)]
+                    .astype(jnp.int32)]
                 crossed = live & is_entry
-                out_edge = jnp.where(crossed, ek, -1)
-                out_val = jnp.where(crossed, eval_, 0.0)
+                emit = crossed & (t > f0)
+                out_edge = jnp.where(emit, ek, -1)
+                out_val = jnp.where(emit, eval_, 0.0)
                 state = jnp.where(live,
                                   jnp.where(is_entry, res_state, nxt_state),
                                   state)
                 model = jnp.where(crossed, src_model, model)
-                active = active & ~(crossed & (src_model < 0)) & ~(t == 0)
+                active = active & ~(crossed & (src_model < 0)) \
+                    & ~(t == 0) & ~(crossed & (t <= f0))
                 return (state, model, active), (out_edge, out_val)
 
             (_, _, _), (edges, vals) = jax.lax.scan(
@@ -725,7 +743,36 @@ class NetworkDecoder:
             # emitted in reverse time order; flip to ascending frame index
             return ok, sink_edge, sink_val, edges[::-1], vals[::-1]
 
-        return jax.vmap(one)(recs, n_valid)
+        return jax.vmap(one)(recs, n_valid, frame0)
+
+    def labels_from_edge_walk(self, ok_b, sink_edge_b, sink_val_b,
+                              edges_b, vals_b, n_valid: int,
+                              frame_offset: int = 0, frame0_rel: int = 0,
+                              like0: float = 0.0) -> List[Label]:
+        """Host expansion of ONE row of _traceback_batch output into word
+        labels: crossed closure-edge ids -> word sequences, likes as
+        cumulative-path deltas.  ``frame0_rel``/``like0`` seed the first
+        label's start frame and like base (the committed boundary);
+        ``frame_offset`` shifts window-relative frames to absolute."""
+        if not ok_b:
+            return []
+        words: List[Tuple[str, int, float]] = []
+        cs_edge = self.cs[int(sink_edge_b)]
+        for w in reversed(cs_edge.words):
+            words.append((w, n_valid, float(sink_val_b)))
+        ts = np.nonzero(np.asarray(edges_b[:n_valid]) >= 0)[0]
+        for t in ts[::-1]:
+            e = self.cm[int(edges_b[t])]
+            for w in reversed(e.words):
+                words.append((w, int(t), float(vals_b[t])))
+        words.reverse()
+        labels: List[Label] = []
+        prev_t, prev_like = frame0_rel, like0
+        for w, end_t, like in words:
+            labels.append(Label(prev_t + frame_offset,
+                                end_t + frame_offset, w, like - prev_like))
+            prev_t, prev_like = end_t, like
+        return labels
 
     def decode_batch(self, log_post, n_frames, beam=None) -> List[List[Label]]:
         """[B, T, D] log posteriors + [B] frame counts -> per-row word
@@ -740,30 +787,12 @@ class NetworkDecoder:
         ok, sink_edge, sink_val, edges, vals = jax.tree_util.tree_map(
             np.asarray, self._traceback_batch(recs, nv))
         n_frames = np.asarray(n_frames)
-        out: List[List[Label]] = []
-        for b in range(obs.shape[0]):
-            if not ok[b]:
-                out.append([])
-                continue
-            Tb = int(n_frames[b])
-            words: List[Tuple[str, int, float]] = []
-            cs_edge = self.cs[int(sink_edge[b])]
-            for w in reversed(cs_edge.words):
-                words.append((w, Tb, float(sink_val[b])))
-            for t in range(Tb - 1, -1, -1):
-                ek = int(edges[b, t])
-                if ek >= 0:
-                    e = self.cm[ek]
-                    for w in reversed(e.words):
-                        words.append((w, t, float(vals[b, t])))
-            words.reverse()
-            labels: List[Label] = []
-            prev_t, prev_like = 0, 0.0
-            for w, end_t, like in words:
-                labels.append(Label(prev_t, end_t, w, like - prev_like))
-                prev_t, prev_like = end_t, like
-            out.append(labels)
-        return out
+        return [
+            self.labels_from_edge_walk(ok[b], sink_edge[b], sink_val[b],
+                                       edges[b], vals[b],
+                                       int(n_frames[b]))
+            for b in range(obs.shape[0])
+        ]
 
     # ------------------------------------------------------------------
     def kws_scan(self, obs, beam=None):
@@ -806,41 +835,59 @@ class DenseKWSScan:
         M, E = c.n_models, c.n_states
         S = decoder.n_sinks
         self.M, self.E, self.n_sinks = M, E, S
+        # edge-id lookup tables alongside the weight matrices: the dense
+        # argmax returns the winning SOURCE row; these map (src, dst)
+        # back to the edge-list edge id the per-dst-row reduction would
+        # have recorded (build keeps the first strictly-greatest edge,
+        # matching the ascending-edge-id first-max-wins rule), so the
+        # dense scan can emit the SAME traceback records as scan_block
         A_in = np.full((M + E, E), NEG, np.float32)
+        I_in = np.full((M + E, E), -1, np.int32)
         for k in range(len(c.in_src)):
             row = (int(c.in_src[k]) if c.in_src_is_entry[k]
                    else M + int(c.in_src[k]))
             dst, w = int(c.in_dst[k]), np.float32(c.in_w[k])
             if w > A_in[row, dst]:
                 A_in[row, dst] = w
+                I_in[row, dst] = k
         A_ex = np.full((E, M), NEG, np.float32)
+        I_ex = np.full((E, M), -1, np.int32)
         for k in range(len(c.ex_src)):
             src, dst = int(c.ex_src[k]), int(c.ex_dst_model[k])
             w = np.float32(c.ex_w[k])
             if w > A_ex[src, dst]:
                 A_ex[src, dst] = w
+                I_ex[src, dst] = k
         A_cm = np.full((M, M), NEG, np.float32)
         R_cm = np.zeros((M, M), bool)
-        for e in decoder.cm:
+        I_cm = np.full((M, M), -1, np.int32)
+        for k, e in enumerate(decoder.cm):
             if e.src < 0:
                 continue           # START closure: handled by init_carry
             w = np.float32(e.score)
             if w > A_cm[e.src, e.dst]:
                 A_cm[e.src, e.dst] = w
                 R_cm[e.src, e.dst] = e.word_time_reset
+                I_cm[e.src, e.dst] = k
         A_cs = np.full((M, max(S, 1)), NEG, np.float32)
-        for e in decoder.cs:
+        I_cs = np.full((M, max(S, 1)), -1, np.int32)
+        for k, e in enumerate(decoder.cs):
             if e.src < 0:
                 continue
             w = np.float32(e.score)
             if w > A_cs[e.src, e.sink]:
                 A_cs[e.src, e.sink] = w
+                I_cs[e.src, e.sink] = k
         self.A_in = jnp.asarray(A_in)
         self.A_ex = jnp.asarray(A_ex)
         self.A_cm = jnp.asarray(A_cm)
         self.R_cm = jnp.asarray(R_cm)
         self.A_cs = jnp.asarray(A_cs)
-        self._entry0, _, _ = decoder._init_entry()
+        self.I_in = jnp.asarray(I_in)
+        self.I_ex = jnp.asarray(I_ex)
+        self.I_cm = jnp.asarray(I_cm)
+        self.I_cs = jnp.asarray(I_cs)
+        self._entry0, self._entry_edge0, _ = decoder._init_entry()
 
     def init_carry(self, n: int):
         """[n]-stream carry: (alpha [n,E], wt [n,E], entry [n,M],
@@ -885,6 +932,52 @@ class DenseKWSScan:
         carry = jax.tree_util.tree_map(
             lambda n_, o_: jnp.where(lv, n_, o_), new, carry)
         return carry, (sink_val, sink_wt)
+
+    # -- decode-mode dense step (emits traceback records) ---------------
+    def init_carry_decode(self, n: int):
+        """[n]-stream decode carry: (alpha [n,E], entry [n,M],
+        entry_edge [n,M]) — no word-time lanes (decode traceback derives
+        times from the records, not sink_wt)."""
+        return (jnp.full((n, self.E), NEG, jnp.float32),
+                jnp.tile(jnp.asarray(self._entry0)[None], (n, 1)),
+                jnp.tile(jnp.asarray(self._entry_edge0)[None], (n, 1)))
+
+    def step_decode(self, carry, obs_t, live, beam):
+        """One ViterbiStep over [n] streams emitting the SAME per-frame
+        traceback records as NetworkDecoder._step_fn (edge ids via the
+        I_* lookups), for the multi-stream decode server.  obs_t [n, E],
+        live [n], beam [n].  Returns (carry', rec dict of [n, ...])."""
+        alpha, entry, entry_edge = carry
+        M, E, S = self.M, self.E, self.n_sinks
+        src = jnp.concatenate([entry, alpha], axis=1)       # [n, M+E]
+        s1 = src[:, :, None] + self.A_in[None]              # [n, M+E, E]
+        new_alpha = jnp.max(s1, axis=1) + obs_t
+        am1 = jnp.argmax(s1, axis=1)                        # [n, E]
+        in_am = self.I_in[am1, jnp.arange(E)[None, :]]
+        thresh = jnp.max(new_alpha, axis=1, keepdims=True) \
+            - jnp.reshape(beam, (-1, 1))
+        new_alpha = jnp.where(new_alpha >= thresh, new_alpha, NEG)
+        s2 = new_alpha[:, :, None] + self.A_ex[None]        # [n, E, M]
+        exit_val = jnp.max(s2, axis=1)
+        am2 = jnp.argmax(s2, axis=1)
+        ex_am = self.I_ex[am2, jnp.arange(M)[None, :]]
+        s3 = exit_val[:, :, None] + self.A_cm[None]         # [n, M, M]
+        nentry = jnp.max(s3, axis=1)
+        am3 = jnp.argmax(s3, axis=1)
+        cm_am = self.I_cm[am3, jnp.arange(M)[None, :]]
+        nentry = jnp.where(nentry >= thresh, nentry, NEG)
+        s4 = exit_val[:, :, None] + self.A_cs[None]         # [n, M, S]
+        sink_val = jnp.max(s4, axis=1)
+        am4 = jnp.argmax(s4, axis=1)
+        cs_am = self.I_cs[am4, jnp.arange(S)[None, :]]
+        rec = dict(in_am=in_am, ex_am=ex_am, cm_am=cm_am,
+                   entry_edge=entry_edge, entry_val=entry,
+                   sink_val=sink_val, cs_am=cs_am)
+        new = (new_alpha, nentry, cm_am)
+        lv = live[:, None]
+        carry = jax.tree_util.tree_map(
+            lambda n_, o_: jnp.where(lv, n_, o_), new, carry)
+        return carry, rec
 
 
 @dataclass

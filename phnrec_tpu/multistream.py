@@ -46,7 +46,8 @@ class MultiStreamRecognizer:
 
     def __init__(self, sr: SpeechRec, n_streams: int,
                  block_frames: int = 128, auto_pump: bool = True,
-                 mesh=None, commit_horizon: Optional[int] = None):
+                 mesh=None, commit_horizon: Optional[int] = None,
+                 partial_pump: bool = False):
         """``mesh``: an optional jax.sharding.Mesh with a 'data' axis —
         streams shard across devices (the stream axis is the lane-minor
         axis of every carried tensor, so XLA partitions the whole fused
@@ -68,16 +69,21 @@ class MultiStreamRecognizer:
         spans more wall blocks), and the committed LABEL lists grow with
         the session — they are the requested output; a serving loop that
         drains them can pop from ``self._committed[b]``.  None (default)
-        keeps the full history (exact full backtrack at finish)."""
+        keeps the full history (exact full backtrack at finish).
+
+        ``partial_pump``: dispatch a fused block as soon as ANY live
+        stream has a full block pending; the others contribute what they
+        have (possibly nothing — idle rows pass their carry through the
+        ragged scan).  Kills head-of-line blocking: one slow or silent
+        stream no longer stalls the other N-1.  Default False keeps the
+        lockstep policy (every live stream must fill a block), which
+        wastes no lane work on idle rows."""
         if sr.estimator is None:
             raise ValueError("streaming requires an enabled estimator")
         self._check_decoder(sr)
         self.commit_horizon = commit_horizon
         self.online_norm = normalization.OnlineNorm.from_config(
             sr.cfg, sr.frontend.spec.nbanks)
-        if self.online_norm.enabled:
-            raise ValueError("online normalization is a per-channel host "
-                             "state machine; use StreamingRecognizer")
         self.sr = sr
         self.n = n_streams
         self.block = block_frames
@@ -86,6 +92,7 @@ class MultiStreamRecognizer:
         self.nbanks = spec.nbanks
         self.trap_shift = s = sr.estimator.trap_shift
         self.auto_pump = auto_pump
+        self.partial_pump = partial_pump
 
         self._i16 = (sr.wave_format == "lin16" and sr.wave_noise == 0.0)
         dtype = np.int16 if self._i16 else np.float32
@@ -143,6 +150,68 @@ class MultiStreamRecognizer:
         ts2 = 2 * s
         frame_shift, frame_floor = sr.frame_shift, sr.frame_floor
 
+        # -- device-carried online normalization (norm.cpp:92-234) ------
+        # per-stream running mean/var estimation rides in the fused
+        # dispatch: accumulate each stream's first estim_interval mel
+        # frames (cnt/sum/sumsq lanes), then freeze and normalize from
+        # the frame COMPLETING the estimate onward (the reference
+        # normalizes that very frame, norm.cpp:127-148 + the host
+        # process_block's i += take - 1).  estim_interval == 0 applies
+        # file-loaded channel params to every frame.
+        on = self.online_norm
+        on.set_channel(sr.cfg.get_int("onlinenorm", "channel"))
+        self._on_E = on.estim_interval
+        ch = on._state(on.cur)
+        on_mean0 = jnp.asarray(ch["mean"])
+        on_inv0 = jnp.asarray(ch["inv_std"] * (ch["glob_std"]
+                                               if on.scale_to_gvar
+                                               else 1.0))
+        on_gstd = jnp.asarray(ch["glob_std"])
+
+        def _onorm(par, v, n_mel, onst):
+            """[N, F, nb] mel rows (row j of stream b = global mel frame
+            n_mel[b] + j; rows >= v[b] garbage) -> normalized rows +
+            advanced estimation state."""
+            if not on.enabled:
+                return par, onst
+            if self._on_E == 0:            # frozen file-loaded params
+                out = par
+                if on.mean_norm:
+                    out = out - on_mean0[None, None]
+                if on.var_norm:
+                    out = out * on_inv0[None, None]
+                return out, onst
+            E = jnp.int32(self._on_E)
+            cnt, sx, sxx = onst
+            F = par.shape[1]
+            g = n_mel[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]
+            contrib = ((g < E) & (jnp.arange(F)[None, :]
+                                  < v[:, None]))[:, :, None]
+            sx = sx + jnp.sum(jnp.where(contrib, par, 0.0), axis=1)
+            sxx = sxx + jnp.sum(jnp.where(contrib, par * par, 0.0),
+                                axis=1)
+            cnt = cnt + jnp.sum(contrib[:, :, 0], axis=1)
+            mean = sx / jnp.float32(self._on_E)
+            var = jnp.maximum(sxx / jnp.float32(self._on_E)
+                              - mean * mean, 1e-20)
+            inv = jax.lax.rsqrt(var)
+            if on.scale_to_gvar:
+                inv = inv * on_gstd[None, :]
+            out = par
+            if on.mean_norm:
+                out = out - mean[:, None, :]
+            if on.var_norm:
+                out = out * inv[:, None, :]
+            apply_row = (g >= E - 1)[:, :, None]
+            return jnp.where(apply_row, out, par), (cnt, sx, sxx)
+
+        self._onorm_state = () if not on.enabled or self._on_E == 0 else (
+            _put(jnp.zeros((n_streams,), jnp.int32), self._sh_rows),
+            _put(jnp.zeros((n_streams, self.nbanks), jnp.float32),
+                 self._sh_audio),
+            _put(jnp.zeros((n_streams, self.nbanks), jnp.float32),
+                 self._sh_audio))
+
         def _front(span):                      # [N, samples] -> [N, F, nb]
             w = span.astype(jnp.float32)
             if i16 and float(dc) != 0.0:
@@ -165,10 +234,13 @@ class MultiStreamRecognizer:
             return self._decode_block(carry, lp, n_dec.astype(jnp.int32),
                                       n_valid.astype(jnp.int32))
 
-        def _fused_impl(span, v, mel_tail, primed, carry, n_mel, n_dec):
+        def _fused_impl(span, v, mel_tail, primed, carry, n_mel, n_dec,
+                        onst):
             """One multi-stream block: span [N, samples] with v[b] valid
             new frames in row b."""
             par = _front(span)                          # [N, block, nb]
+            par, onst = _onorm(par, v.astype(jnp.int32),
+                               n_mel.astype(jnp.int32), onst)
             tail_eff = jnp.where(
                 primed[:, None, None], mel_tail,
                 jnp.repeat(par[:, :1], ts2, axis=1))
@@ -179,7 +251,7 @@ class MultiStreamRecognizer:
                             v.astype(jnp.int32))
             carry, hist = _decode_ctx(ctx, skip, carry, n_dec, v - skip,
                                       self.block)
-            return new_tail, primed | (v > 0), carry, hist
+            return new_tail, primed | (v > 0), carry, hist, onst
 
         _fused = jax.jit(_fused_impl)
 
@@ -187,7 +259,7 @@ class MultiStreamRecognizer:
 
         @jax.jit
         def _fused_from_buffer(audio, offset, v, mel_tail, primed, carry,
-                               n_mel, n_dec):
+                               n_mel, n_dec, onst):
             """Same block program, but the sample span is sliced out of a
             device-resident [N, L] audio buffer at a TRACED offset — one
             compiled program serves every block position (per-offset
@@ -196,13 +268,13 @@ class MultiStreamRecognizer:
             span = jax.lax.dynamic_slice(
                 audio, (0, offset), (audio.shape[0], need))
             return _fused_impl(span, v, mel_tail, primed, carry, n_mel,
-                               n_dec)
+                               n_dec, onst)
 
         spb = self.block * self.step_len
 
         @jax.jit
         def _scan_buffer(audio, k_arr, mel_tail, primed, carry,
-                         n_mel, n_dec):
+                         n_mel, n_dec, onst):
             """Decode ``n_blocks`` consecutive blocks from a device
             buffer in ONE dispatch: a lax.scan over block offsets with
             ALL bookkeeping (frame counts, priming, skip) carried on
@@ -220,17 +292,18 @@ class MultiStreamRecognizer:
             vb = jnp.full((N,), self.block, jnp.int32)
 
             def body(st, k):
-                mel_tail, primed, carry, n_mel, n_dec = st
+                mel_tail, primed, carry, n_mel, n_dec, onst = st
                 span = jax.lax.dynamic_slice(
                     audio, (0, k * spb), (N, need))
                 skip = jnp.clip(jnp.int32(s) - n_mel, 0, vb)
-                new_tail, primed, carry, hist = _fused_impl(
-                    span, vb, mel_tail, primed, carry, n_mel, n_dec)
+                new_tail, primed, carry, hist, onst = _fused_impl(
+                    span, vb, mel_tail, primed, carry, n_mel, n_dec,
+                    onst)
                 return (new_tail, primed, carry, n_mel + vb,
-                        n_dec + vb - skip), hist
+                        n_dec + vb - skip, onst), hist
 
             st0 = (mel_tail, primed, carry, n_mel.astype(jnp.int32),
-                   n_dec.astype(jnp.int32))
+                   n_dec.astype(jnp.int32), onst)
             K = k_arr.shape[0]
             st, hists = jax.lax.scan(body, st0, k_arr)
             skip0 = jnp.clip(jnp.int32(s) - n_mel.astype(jnp.int32),
@@ -367,26 +440,34 @@ class MultiStreamRecognizer:
             jnp.asarray(v, np.int32), self._mel_tail,
             self._primed, self._carry,
             jnp.asarray(self._n_mel, np.int32),
-            jnp.asarray(self._n_dec, np.int32)))
+            jnp.asarray(self._n_dec, np.int32), self._onorm_state))
 
     def pump(self) -> int:
-        """Dispatch fused blocks while every live stream can fill one
-        (ended streams contribute what they have).  Returns the number of
-        blocks dispatched."""
+        """Dispatch fused blocks per the pump policy — lockstep (default:
+        every live stream must fill a block; ended streams contribute
+        what they have) or partial (any live stream with a full block
+        triggers a dispatch and the rest contribute what they have).
+        Returns the number of blocks dispatched."""
         n_blocks = 0
         while True:
             pending = self._pending()
-            ready = np.where(self._ended, pending > 0,
-                             pending >= self.block)
-            if not (np.all(ready | self._ended) and pending.max(initial=0)
-                    >= (self.block if not self._ended.all() else 1)):
+            if self._ended.all():
+                go = pending.max(initial=0) >= 1
+            elif self.partial_pump:
+                go = bool((pending[~self._ended] >= self.block).any())
+            else:
+                ready = np.where(self._ended, pending > 0,
+                                 pending >= self.block)
+                go = bool(np.all(ready | self._ended)
+                          and pending.max(initial=0) >= self.block)
+            if not go:
                 return n_blocks
             self._dispatch(np.minimum(pending, self.block))
             n_blocks += 1
 
     def _record(self, v: np.ndarray, out) -> None:
         """Book-keep one fused dispatch's outputs."""
-        new_tail, primed, carry, hist = out
+        new_tail, primed, carry, hist, self._onorm_state = out
         skip = np.clip(self.trap_shift - self._n_mel, 0, v)
         self._mel_tail, self._primed, self._carry = new_tail, primed, carry
         valid = (v - skip).astype(np.int64)
@@ -496,7 +577,7 @@ class MultiStreamRecognizer:
             span_dev, jnp.asarray(v, np.int32), self._mel_tail,
             self._primed, self._carry,
             jnp.asarray(self._n_mel, np.int32),
-            jnp.asarray(self._n_dec, np.int32)))
+            jnp.asarray(self._n_dec, np.int32), self._onorm_state))
 
     def decode_device_buffer(self, audio_dev, n_blocks: int,
                              first_block: int = 0) -> None:
@@ -519,8 +600,9 @@ class MultiStreamRecognizer:
         st, hist = self._scan_buffer(
             audio_dev, k_arr, self._mel_tail, self._primed, self._carry,
             jnp.asarray(self._n_mel, np.int32),
-            jnp.asarray(self._n_dec, np.int32))
+            jnp.asarray(self._n_dec, np.int32), self._onorm_state)
         self._mel_tail, self._primed, self._carry = st[0], st[1], st[2]
+        self._onorm_state = st[5]
         skip0 = np.clip(self.trap_shift - self._n_mel, 0, self.block)
         valid = (np.int64(n_blocks) * self.block - skip0).astype(np.int64)
         self._hist.append((hist, valid))
@@ -540,7 +622,7 @@ class MultiStreamRecognizer:
             audio_dev, jnp.int32(sample_offset), jnp.asarray(v, np.int32),
             self._mel_tail, self._primed, self._carry,
             jnp.asarray(self._n_mel, np.int32),
-            jnp.asarray(self._n_dec, np.int32)))
+            jnp.asarray(self._n_dec, np.int32), self._onorm_state))
 
     # -- results ---------------------------------------------------------
     def finish(self) -> List[List[Label]]:
@@ -563,7 +645,30 @@ class MultiStreamRecognizer:
                 self._hist.append((hist, valid))
                 self._n_dec += valid
             self._flushed = True
+            self.save_norm_params()
         return self.results()
+
+    def save_norm_params(self) -> None:
+        """Persist each stream's frozen online-norm estimate to the
+        config's onlinenorm/file, channel id = stream index — the
+        multi-stream form of the reference's per-channel XML save
+        (norm.cpp:230,309-364)."""
+        on = self.online_norm
+        if (not on.enabled or self._on_E == 0 or on.file in ("", "none")
+                or not self._onorm_state):
+            return
+        cnt, sx, sxx = jax.device_get(self._onorm_state)
+        from phnrec_tpu.io.normfile import save_norm_file
+        chans = {}
+        E = np.float32(self._on_E)
+        for b in range(self.n):
+            if int(cnt[b]) >= self._on_E:
+                mean = (sx[b] / E).astype(np.float32)
+                var = np.maximum(sxx[b] / E - mean * mean,
+                                 np.float32(1e-20))
+                chans[b] = (mean, (1.0 / np.sqrt(var)).astype(np.float32))
+        if chans:
+            save_norm_file(on.file, chans)
 
     def results(self) -> List[List[Label]]:
         """Backtrack every stream's accumulated history (stitched onto
@@ -641,9 +746,11 @@ class MultiStreamKWS(MultiStreamRecognizer):
     StreamingRecognizer in KWS mode (tests/test_multistream_kws.py).
 
     The per-stream carry is (network token state [N, ...], LRTrace state
-    [N, K]); flush events accumulate on device and are decoded on the
-    host at results()/finish().  Model sets with a global <InputXform>
-    are not supported on this path (no shipped KWS package has one)."""
+    [N, K], beam [N], InputXform delay lines [N, ...]); flush events
+    accumulate on device and are decoded on the host at
+    results()/finish().  A global <InputXform> (no shipped KWS package
+    has one, but the capability is declared) is carried per stream via
+    the ragged stateful form (io/xform.py) inside the fused dispatch."""
 
     def __init__(self, sr: SpeechRec, n_streams: int,
                  block_frames: int = 128, auto_pump: bool = True,
@@ -652,9 +759,7 @@ class MultiStreamKWS(MultiStreamRecognizer):
         if dec is None or dec.mode != "kws":
             raise ValueError("MultiStreamKWS needs an stkint package "
                              "with decoder/mode=kws")
-        if dec.model_set.input_xform is not None:
-            raise NotImplementedError(
-                "multi-stream KWS does not carry InputXform delay lines")
+        self._xform_inst = dec.model_set.input_xform
         from phnrec_tpu.decoder.stknet import (DenseKWSScan, OFF_BEAM,
                                                lrtrace_step_fn)
         self._dec = dec
@@ -697,7 +802,8 @@ class MultiStreamKWS(MultiStreamRecognizer):
         from phnrec_tpu.decoder.stknet import OFF_BEAM
         beam = jnp.full((self.n,), OFF_BEAM if v is None else v,
                         jnp.float32)
-        self._carry = self._carry[:2] + (self._put(beam, self._sh_rows),)
+        self._carry = self._carry[:2] + (self._put(beam, self._sh_rows),
+                                         self._carry[3])
 
     # -- decoder hooks ---------------------------------------------------
     def _check_decoder(self, sr: SpeechRec) -> None:
@@ -717,7 +823,8 @@ class MultiStreamKWS(MultiStreamRecognizer):
             lrtrace_init_state(len(self._keywords)))
         # the beam width rides in the carry (one [N] lane row) so
         # set_beam_pruning stays a live knob without retracing
-        return (stk, trk, jnp.full((self.n,), self._beam0, jnp.float32))
+        return (stk, trk, jnp.full((self.n,), self._beam0, jnp.float32),
+                self._xform_state0())
 
     def _carry_sharding(self, mesh):
         # every carry leaf has the stream axis LEADING
@@ -726,11 +833,12 @@ class MultiStreamKWS(MultiStreamRecognizer):
 
     def _decode_block(self, carry, lp, n_dec, n_valid):
         dec = self._dec.decoder
+        xst, lp = self._apply_xform(carry[3], lp, n_valid)
         obs_state = jax.vmap(dec.state_observations)(lp)   # [N, F, E]
         if self._dense is not None:
-            return self._decode_block_dense(carry, obs_state, n_dec,
-                                            n_valid)
-        stk_c, trk, beam = carry
+            return self._decode_block_dense(carry[:3] + (xst,), obs_state,
+                                            n_dec, n_valid)
+        stk_c, trk, beam = carry[:3]
 
         def net_one(c, o, t0, nv, bm):
             # scan_block's n_valid is the ABSOLUTE frame bound
@@ -753,7 +861,7 @@ class MultiStreamKWS(MultiStreamRecognizer):
 
         trk, events = jax.vmap(trk_one)(trk, sink_val, sink_wt,
                                         n_dec, n_valid)
-        return (stk_c, trk, beam), events
+        return (stk_c, trk, beam, xst), events
 
     def _decode_block_dense(self, carry, obs_state, n_dec, n_valid):
         """Fused dense max-plus network step + LRTrace update in ONE
@@ -765,6 +873,7 @@ class MultiStreamKWS(MultiStreamRecognizer):
         trk_vstep = jax.vmap(
             lambda st, wv, fl, w_s, t, lv: trk_step(st, (wv, fl, w_s, t,
                                                          lv)))
+        xst = carry[3]
 
         def step(c, x):
             net_c, trk, beam = c
@@ -779,10 +888,10 @@ class MultiStreamKWS(MultiStreamRecognizer):
 
         F = obs_state.shape[1]
         obs_fm = jnp.transpose(obs_state, (1, 0, 2))     # [F, N, E]
-        carry, events = jax.lax.scan(
-            step, carry, (obs_fm, jnp.arange(F, dtype=jnp.int32)))
+        carry3, events = jax.lax.scan(
+            step, carry[:3], (obs_fm, jnp.arange(F, dtype=jnp.int32)))
         # events leaves [F, N, K] -> the [N, F, K] convention
-        return carry, jax.tree_util.tree_map(
+        return carry3 + (xst,), jax.tree_util.tree_map(
             lambda a: jnp.transpose(a, (1, 0, 2)), events)
 
     def _compact_scan(self, hists, skip0, K: int, N: int):
@@ -842,3 +951,275 @@ class MultiStreamKWS(MultiStreamRecognizer):
         new = self._labels[i][self._hits_emitted[i]:]
         self._hits_emitted[i] = len(self._labels[i])
         return list(new)
+
+
+class MultiStreamStkDecode(MultiStreamRecognizer):
+    """N concurrent stkint DECODE-mode streams per chip: the live word-
+    network serving mode (StkInterface::ProcessFrame decode branch with
+    fixed-lag word emission, stkinterface.cpp:214-238) batched over
+    streams inside the same fused block dispatches as the phnloop server.
+
+    The per-stream carry is (network token state [N, ...], beam [N],
+    InputXform delay lines [N, ...]); the vmapped edge-list scan
+    (NetworkDecoder.scan_block) emits per-frame traceback records that
+    stay in HBM.  Fixed-lag commit mirrors the single-stream path
+    (_stk_commit, streaming.py) but runs the traceback ON DEVICE over
+    the retained window (NetworkDecoder._traceback_batch with the
+    committed-boundary stop): only crossed-edge ids/values (~8 bytes per
+    frame per stream) ever leave the chip, instead of the ~0.7 kB/frame
+    record rows — labels ending >= time_pruning frames behind the newest
+    frame (the reference's TimePruning ring, Viterbi.cc:65-125) move to
+    a committed list and their record blocks are dropped from HBM,
+    bounding memory at O(N * horizon) for unbounded serving sessions.
+    Ragged (non-lockstep) sessions fall back to a host-side walk.
+    Per-stream outputs are identical to a single-stream
+    StreamingRecognizer on the same package
+    (tests/test_multistream_stk.py)."""
+
+    # record keys the traceback consumes (exit_val / sink_wt dropped at
+    # the dispatch boundary — decode mode never reads them)
+    _WALK_KEYS = ("in_am", "ex_am", "cm_am", "entry_edge", "entry_val",
+                  "sink_val", "cs_am")
+
+    def __init__(self, sr: SpeechRec, n_streams: int,
+                 block_frames: int = 128, auto_pump: bool = True,
+                 mesh=None, record_horizon: Optional[int] = None):
+        dec = sr.stk_decoder
+        if dec is None or dec.mode != "decode":
+            raise ValueError("MultiStreamStkDecode needs an stkint "
+                             "package with decoder/mode=decode")
+        from phnrec_tpu.decoder.stknet import OFF_BEAM
+        self._dec = dec
+        self._beam0 = float(OFF_BEAM if dec.beam_pruning is None
+                            else dec.beam_pruning)
+        self._xform_inst = dec.model_set.input_xform
+        # edge-id records fit int16 for every phnrec-scale network;
+        # halves both HBM retention and (fallback-path) fetch bytes
+        c = dec.compiled
+        self._rec_i16 = max(len(c.in_src), len(c.ex_src),
+                            len(dec.decoder.cm) or 1,
+                            len(dec.decoder.cs) or 1) < (1 << 15)
+        # dense max-plus step with edge-id record emission: replaces the
+        # gather-heavy vmapped edge-list scan for small static networks
+        # (same records, same tie-breaking — see DenseKWSScan); opt out
+        # with PHNREC_TPU_DENSE_STK=0
+        import os
+        self._dense = None
+        if os.environ.get("PHNREC_TPU_DENSE_STK", "1") != "0" and \
+                c.n_models + c.n_states <= 1024:
+            from phnrec_tpu.decoder.stknet import DenseKWSScan
+            self._dense = DenseKWSScan(dec.decoder)
+        # per-stream fixed-lag commit state (the multi-stream form of
+        # streaming.py's _stk_committed/_stk_frame0/_stk_like0)
+        self._stk_committed: List[List[Label]] = \
+            [[] for _ in range(n_streams)]
+        self._like0 = np.zeros(n_streams, np.float64)
+        self._horizon = (record_horizon if record_horizon is not None
+                         else max(4 * dec.time_pruning, 4 * block_frames,
+                                  512))
+        self._walk_cache: dict = {}
+        super().__init__(sr, n_streams, block_frames=block_frames,
+                         auto_pump=auto_pump, mesh=mesh)
+
+    # -- decoder hooks ---------------------------------------------------
+    def _check_decoder(self, sr: SpeechRec) -> None:
+        pass                                   # validated in __init__
+
+    def _init_decode_carry(self):
+        if self._dense is not None:
+            stk = self._dense.init_carry_decode(self.n)
+        else:
+            stk0 = self._dec.decoder.init_carry()
+            stk = jax.tree_util.tree_map(
+                lambda a: jnp.tile(a[None], (self.n,) + (1,) * a.ndim),
+                stk0)
+        return (stk, jnp.full((self.n,), self._beam0, jnp.float32),
+                self._xform_state0())
+
+    def _carry_sharding(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(mesh, P("data"))
+
+    def set_beam_pruning(self, v: Optional[float]) -> None:
+        """Live beam-pruning knob (SetBeamPruning, stkinterface.h:108)."""
+        from phnrec_tpu.decoder.stknet import OFF_BEAM
+        beam = jnp.full((self.n,), OFF_BEAM if v is None else v,
+                        jnp.float32)
+        self._carry = (self._carry[0], self._put(beam, self._sh_rows),
+                       self._carry[2])
+
+    def _decode_block(self, carry, lp, n_dec, n_valid):
+        dec = self._dec.decoder
+        stk_c, beam, xst = carry
+        xst, lp = self._apply_xform(xst, lp, n_valid)
+        obs_state = jax.vmap(dec.state_observations)(lp)   # [N, F, E]
+
+        if self._dense is not None:
+            dense = self._dense
+
+            def step(c, x):
+                net_c, bm = c
+                obs_t, i = x                       # obs_t [N, E]
+                net_c, rec = dense.step_decode(net_c, obs_t,
+                                               i < n_valid, bm)
+                return (net_c, bm), rec
+
+            F = obs_state.shape[1]
+            (stk_c, _), recs = jax.lax.scan(
+                step, (stk_c, beam),
+                (jnp.transpose(obs_state, (1, 0, 2)),
+                 jnp.arange(F, dtype=jnp.int32)))
+            # record leaves [F, N, ...] -> the [N, F, ...] convention
+            recs = jax.tree_util.tree_map(
+                lambda a: jnp.moveaxis(a, 0, 1), recs)
+        else:
+            def net_one(c, o, t0, nv, bm):
+                # scan_block's n_valid is the ABSOLUTE frame bound
+                return dec.scan_block(c, o, t0, t0 + nv, bm)
+
+            stk_c, recs = jax.vmap(net_one)(stk_c, obs_state, n_dec,
+                                            n_valid, beam)
+            recs = {k: recs[k] for k in self._WALK_KEYS}
+        if self._rec_i16:
+            for k in ("in_am", "ex_am", "cm_am", "entry_edge", "cs_am"):
+                recs[k] = recs[k].astype(jnp.int16)
+        return (stk_c, beam, xst), recs
+
+    def _compact_scan(self, hists, skip0, K: int, N: int):
+        """Scanned record blocks [K, N, F, ...] -> [N, K*F, ...] with the
+        block-0 delay-gate gap removed (same gather as the base class,
+        applied leaf-wise over the record dict)."""
+        TT = K * self.block
+        j = jnp.arange(TT, dtype=jnp.int32)[:, None]
+        idx = jnp.clip(
+            j + jnp.where(j >= self.block - skip0[None, :],
+                          skip0[None, :], 0), 0, TT - 1)       # [TT, N]
+
+        def comp(a):
+            a = jnp.moveaxis(a, 2, 1).reshape((TT, N) + a.shape[3:])
+            ix = idx.reshape((TT, N) + (1,) * (a.ndim - 2))
+            return jnp.moveaxis(
+                jnp.take_along_axis(a, ix.astype(jnp.int32), axis=0),
+                0, 1)
+
+        return jax.tree_util.tree_map(comp, hists)
+
+    # -- retained-window traceback ---------------------------------------
+    def _f0_rel(self) -> np.ndarray:
+        """Committed boundary in window-relative frames (-1 = stream
+        start: the t=0 entry crossing is the real utterance entry)."""
+        return np.where(self._frame0 > 0,
+                        self._frame0 - self._row_offset,
+                        -1).astype(np.int32)
+
+    def _device_walk(self) -> "Optional[List[List[Label]]]":
+        """Assemble the retained record window IN HBM (device concat of
+        the pending blocks, program cached per block-validity pattern)
+        and run the batched device traceback; fetch only crossed-edge
+        ids/values.  Returns per-stream window labels, or None when the
+        retained blocks are not stream-uniform (ragged sessions use the
+        host walk)."""
+        if not self._hist:
+            return [[] for _ in range(self.n)]
+        valids = np.stack([v for _, v in self._hist])
+        if not (valids == valids[:, :1]).all() or \
+                not (self._row_offset == self._row_offset[0]).all():
+            return None
+        key = tuple(int(v[0]) for _, v in self._hist)
+        prog = self._walk_cache.get(key)
+        if prog is None:
+            dec = self._dec.decoder
+
+            @jax.jit
+            def prog(blocks, n_rel, f0_rel):
+                recs = {k: jnp.concatenate(
+                    [b[k][:, : key[i]] for i, b in enumerate(blocks)],
+                    axis=1) for k in blocks[0]}
+                return dec._traceback_batch(recs, n_rel, f0_rel)
+
+            self._walk_cache[key] = prog
+        n_rel = (self._n_dec - self._row_offset).astype(np.int32)
+        f0_rel = self._f0_rel()
+        ok, sink_edge, sink_val, edges, vals = jax.device_get(prog(
+            tuple(h for h, _ in self._hist), jnp.asarray(n_rel),
+            jnp.asarray(f0_rel)))
+        dec = self._dec.decoder
+        return [
+            dec.labels_from_edge_walk(
+                ok[b], sink_edge[b], sink_val[b], edges[b], vals[b],
+                int(n_rel[b]), frame_offset=int(self._row_offset[b]),
+                frame0_rel=max(int(f0_rel[b]), 0),
+                like0=float(self._like0[b]))
+            for b in range(self.n)
+        ]
+
+    def _host_walk(self) -> List[List[Label]]:
+        """Ragged fallback: fetch the retained blocks once (they become
+        host arrays in place) and walk each stream's stitched records on
+        the host (traceback_host with the committed-boundary stop)."""
+        if not self._hist:
+            return [[] for _ in range(self.n)]
+        fetched = jax.device_get([h for h, _ in self._hist])
+        self._hist = [(f, v)
+                      for f, (_, v) in zip(fetched, self._hist)]
+        dec = self._dec.decoder
+        f0_rel = self._f0_rel()
+        out: List[List[Label]] = []
+        for b in range(self.n):
+            rows = [{k: np.asarray(f[k])[b][: int(v[b])] for k in f}
+                    for f, v in self._hist if v[b] > 0]
+            if not rows:
+                out.append([])
+                continue
+            rec = {k: np.concatenate([r[k] for r in rows])
+                   for k in rows[0]}
+            cut = max(int(f0_rel[b]), 0)
+            rec = {k: a[cut:] for k, a in rec.items()}
+            out.append(dec.traceback_host(
+                rec,
+                frame_offset=int(self._row_offset[b]) + cut,
+                boundary=self._frame0[b] > 0,
+                like_offset=float(self._like0[b])))
+        return out
+
+    def _window_walk(self) -> List[List[Label]]:
+        w = self._device_walk()
+        return self._host_walk() if w is None else w
+
+    def _maybe_commit(self) -> None:
+        retained = int((self._n_dec - self._row_offset).max(initial=0))
+        if retained <= self._horizon:
+            return
+        window = self._window_walk()
+        for b in range(self.n):
+            horizon = int(self._n_dec[b]) - self._dec.time_pruning
+            commit = [l for l in window[b] if l.end_frames <= horizon]
+            if not commit:
+                continue           # nothing settled yet; keep retaining
+            self._stk_committed[b].extend(commit)
+            self._like0[b] += sum(l.score for l in commit)
+            self._frame0[b] = commit[-1].end_frames
+        # drop record blocks every stream has committed past
+        while self._hist:
+            _, v0 = self._hist[0]
+            if np.all(self._row_offset + v0 <= self._frame0):
+                self._row_offset += v0.astype(np.int64)
+                self._hist.pop(0)
+            else:
+                break
+
+    # -- results ---------------------------------------------------------
+    def results(self, settled_only: bool = False) -> List[List[Label]]:
+        """Per-stream word labels: committed prefix + traceback over the
+        retained record window (ViterbiDone semantics per stream;
+        settled_only keeps only labels ending >= time_pruning frames
+        behind the newest frame — the fixed-lag callback view)."""
+        window = self._window_walk()
+        out: List[List[Label]] = []
+        for b in range(self.n):
+            labels = self._stk_committed[b] + window[b]
+            if settled_only:
+                horizon = int(self._n_dec[b]) - self._dec.time_pruning
+                labels = [l for l in labels if l.end_frames <= horizon]
+            out.append(labels)
+        return out

@@ -201,3 +201,52 @@ def test_commit_horizon_bounds_memory_and_matches(sr_en, raw_bytes):
         assert _key(got[i]) == _key(want[i]), f"stream {i} diverged"
         for a, b in zip(got[i], want[i]):
             assert a.score == pytest.approx(b.score, abs=1e-2)
+
+
+def test_partial_pump_no_head_of_line_blocking(sr_en, raw_bytes):
+    """partial_pump: a stream fed 10x slower must not stall the fast
+    streams — their labels arrive while the slow stream trickles — and
+    the final outputs still equal the single-stream recognizer."""
+    fast = raw_bytes
+    n_slow = len(raw_bytes) // 10 // 2 * 2
+    slow = raw_bytes[:n_slow]
+    ms = MultiStreamRecognizer(sr_en, n_streams=3, block_frames=64,
+                               partial_pump=True)
+    chunk = 20000                      # fast chunk; slow gets 1/10th
+    off = 0
+    saw_fast_labels_early = False
+    while off < len(fast):
+        ms.process(0, fast[off : off + chunk])
+        ms.process(1, fast[off : off + chunk])
+        s0 = off // 10 // 2 * 2
+        s1 = (off + chunk) // 10 // 2 * 2
+        ms.process(2, slow[s0:s1])
+        off += chunk
+        if off >= len(fast) // 2:
+            res = ms.results()
+            # fast streams have decoded labels covering a region the
+            # slow stream hasn't even fed yet
+            if res[0] and res[0][-1].end_frames * 80 > s1:
+                saw_fast_labels_early = True
+    assert saw_fast_labels_early, "fast streams were head-of-line blocked"
+    for i in range(3):
+        ms.end_stream(i)
+    got = ms.finish()
+    for i, s in enumerate((fast, fast, slow)):
+        want = _single_stream_labels(sr_en, s, 64)
+        assert _key(got[i]) == _key(want), f"stream {i} diverged"
+
+
+def test_partial_pump_lockstep_unchanged(sr_en, raw_bytes):
+    """With uniform feeding, partial_pump produces exactly the lockstep
+    outputs (the policy only changes WHEN dispatches happen)."""
+    streams = _streams(raw_bytes, 3)
+    a = MultiStreamRecognizer(sr_en, n_streams=3, block_frames=64)
+    b = MultiStreamRecognizer(sr_en, n_streams=3, block_frames=64,
+                              partial_pump=True)
+    for ms in (a, b):
+        for i, s in enumerate(streams):
+            ms.process(i, s)
+    la, lb = a.finish(), b.finish()
+    for i in range(3):
+        assert _key(la[i]) == _key(lb[i])
