@@ -497,11 +497,126 @@ class MultiStreamRecognizer:
         return phnloop.History(
             *(np.concatenate([c[j] for c in cols]) for j in range(3)))
 
+    # -- device committed-window walk (phnloop commit_horizon mode) ------
+    def _hist_device_uniform(self):
+        """Validity key when ALL retained blocks are device-resident and
+        stream-uniform (the lockstep serving steady state), else None."""
+        if not self._hist or isinstance(self._hist[0][0][0], np.ndarray):
+            return None
+        valids = np.stack([v for _, v in self._hist])
+        if not (valids == valids[:, :1]).all():
+            return None
+        return tuple(int(v[0]) for _, v in self._hist)
+
+    def _walk_window_device(self, key):
+        """One dispatch: concat the retained History blocks in HBM, run
+        the committed-boundary device backtrack, gather the alpha row at
+        each stream's horizon end (for forced splits).  Only compacted
+        segments (~7 bytes each) + one [N] float row are fetched."""
+        prog = self._res_cache.get(("walk", key))
+        if prog is None:
+            spec = self.sr.loop_spec
+
+            @jax.jit
+            def prog(blocks, n_rel, frame0, row_offset, h_end_rel):
+                hist = phnloop.History(*(
+                    jnp.concatenate([b[j][: key[k]]
+                                     for k, b in enumerate(blocks)],
+                                    axis=0) for j in range(3)))
+                segs = phnloop.backtrack_device_committed(
+                    spec, hist, n_rel, frame0, row_offset)
+                a_h = jnp.take_along_axis(
+                    hist.alpha, h_end_rel[None, :], axis=0)[0]
+                return segs, a_h
+
+            self._res_cache[("walk", key)] = prog
+        T = sum(key)
+        n_rel = (self._n_dec - self._row_offset).astype(np.int32)
+        h_end_rel = np.clip(
+            self._n_dec - (self.commit_horizon or 0) - 1
+            - self._row_offset, 0, max(T - 1, 0)).astype(np.int32)
+        segs, a_h = prog(tuple(h for h, _ in self._hist),
+                         jnp.asarray(n_rel),
+                         jnp.asarray(self._frame0.astype(np.int32)),
+                         jnp.asarray(self._row_offset.astype(np.int32)),
+                         jnp.asarray(h_end_rel))
+        segs = phnloop.fetch_segments(
+            segs, cap=min(4096, segs.phn.shape[1]))
+        labels = phnloop.labels_from_segments(
+            segs, self._n_dec, self.sr.phonemes,
+            row_offset=self._row_offset)
+        return labels, np.asarray(a_h)
+
+    def _rebase_device(self, r: np.ndarray) -> None:
+        """Jitted rebase of the retained device blocks + carry (one
+        dispatch, cached per block pattern) — the eager per-block
+        subtraction would pay a lowering round trip per block on remote
+        backends."""
+        key = ("rebase", len(self._hist))
+        prog = self._res_cache.get(key)
+        if prog is None:
+            @jax.jit
+            def prog(blocks, carry, r):
+                blocks = tuple(
+                    phnloop.History(h.max_phn, h.ent,
+                                    h.alpha - r[None, :])
+                    for h in blocks)
+                alphas, ent = carry
+                alphas = jnp.where(
+                    alphas <= jnp.float32(phnloop.NEG_INF / 2), alphas,
+                    alphas - r[None, None, :])
+                return blocks, (alphas, ent)
+
+            self._res_cache[key] = prog
+        blocks, self._carry = prog(tuple(h for h, _ in self._hist),
+                                   self._carry, jnp.asarray(r))
+        self._hist = [(b, v) for b, (_, v) in zip(blocks, self._hist)]
+        self._alpha0[:] = 0.0
+
+    def _commit_device(self, key) -> None:
+        """Fixed-lag commit with the walk + rebase on device: per cycle,
+        two cached dispatches and a ~7-byte/segment fetch regardless of
+        stream count (VERDICT r4 item 9: flat commit cost at 512+
+        streams, results() programs cached by the bounded retained-
+        window pattern)."""
+        labels_all, a_h = self._walk_window_device(key)
+        for b in range(self.n):
+            labels = labels_all[b]
+            horizon_end = int(self._n_dec[b]) - self.commit_horizon
+            commit = [l for l in labels if l.end_frames <= horizon_end]
+            if not commit:
+                # forced split at the horizon (ring semantics): the
+                # spanning label's like telescopes exactly; a_h[b] is
+                # the rebased path like at horizon_end-1
+                if not labels or labels[0].start_frames >= horizon_end:
+                    continue
+                l0 = labels[0]
+                commit = [Label(l0.start_frames, horizon_end, l0.name,
+                                float(a_h[b]))]
+            self._committed[b].extend(commit)
+            # rebased alphas make the boundary alpha the sum of the
+            # window labels committed so far (delta telescoping)
+            self._alpha0[b] = float(sum(l.score for l in commit))
+            self._frame0[b] = commit[-1].end_frames
+        while self._hist:
+            _, v0 = self._hist[0]
+            if np.all(self._row_offset + v0 <= self._frame0):
+                self._row_offset += v0.astype(np.int64)
+                self._hist.pop(0)
+            else:
+                break
+        if self._alpha0.any():
+            self._rebase_device(self._alpha0.astype(np.float32))
+
     def _maybe_commit(self) -> None:
         if self.commit_horizon is None or not self._hist:
             return
         retained = int((self._n_dec - self._row_offset).max(initial=0))
         if retained <= 2 * self.commit_horizon + self.block:
+            return
+        key = self._hist_device_uniform()
+        if key is not None:
+            self._commit_device(key)
             return
         self._hist_to_host()
         for b in range(self.n):
@@ -674,6 +789,11 @@ class MultiStreamRecognizer:
         """Backtrack every stream's accumulated history (stitched onto
         the committed prefix in commit_horizon mode)."""
         if self.commit_horizon is not None:
+            key = self._hist_device_uniform()
+            if key is not None:
+                window, _ = self._walk_window_device(key)
+                return [self._committed[b] + window[b]
+                        for b in range(self.n)]
             self._hist_to_host()
             out: List[List[Label]] = []
             for b in range(self.n):
