@@ -1398,7 +1398,8 @@ class StkNetworkDecoder:
         is applied HERE (only), so NetworkDecoder.decode and .decode_batch
         see identical (already-transformed) observations."""
         if self.mode == "kws":
-            return [self.decode(np.asarray(log_post)[b, : int(n)])
+            lp_np = np.asarray(log_post)     # ONE fetch for the batch
+            return [self.decode(lp_np[b, : int(n)])
                     for b, n in enumerate(np.asarray(n_frames))]
         if self.model_set.input_xform is not None:
             log_post = jax.vmap(self._xform)(jnp.asarray(log_post))

@@ -79,10 +79,13 @@ class BatchPipeline:
 
     # -- jitted core -----------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 3))
-    def _core(self, wave: jnp.ndarray, n_frames: jnp.ndarray,
-              max_frames: int, n_samples: Optional[jnp.ndarray] = None):
-        """[B, L] waves + [B] frame counts -> compacted Segments (the full
-        wav->mel->LCRC->MLPs->Viterbi->backtrack program on device)."""
+    def _post_core(self, wave: jnp.ndarray, n_frames: jnp.ndarray,
+                   max_frames: int,
+                   n_samples: Optional[jnp.ndarray] = None):
+        """[B, L] waves + [B] frame counts -> decoder-ready log
+        posteriors [B, T, D] (wave convert + mel + norms + estimator +
+        both softening stages) — the shared front of the phnloop batch
+        decode and the batched stkint file-list path."""
         sr = self.sr
         fe = sr.frontend
         est = sr.estimator
@@ -127,7 +130,15 @@ class BatchPipeline:
         post = est.posteriors_batched(par, n_frames)
 
         post = sr.post_soft(post)
-        lp = sr.dec_soft(post)
+        return sr.dec_soft(post)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _core(self, wave: jnp.ndarray, n_frames: jnp.ndarray,
+              max_frames: int, n_samples: Optional[jnp.ndarray] = None):
+        """[B, L] waves + [B] frame counts -> compacted Segments (the full
+        wav->mel->LCRC->MLPs->Viterbi->backtrack program on device)."""
+        sr = self.sr
+        lp = self._post_core(wave, n_frames, max_frames, n_samples)
         hist = phnloop.viterbi_scan_batch(sr.loop_spec, lp)
         # backtrack stays on device: only ~7 bytes/segment cross PCIe/host
         # instead of the 8 bytes/frame history (D2H dominates round trips)

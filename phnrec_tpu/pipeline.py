@@ -17,14 +17,16 @@ chunks the same functions with carried state (see streaming.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from phnrec_tpu import normalization, softening
 from phnrec_tpu.config import PhnRecConfig
-from phnrec_tpu.decoder.phnloop import PhnLoopSpec, backtrack, viterbi_scan
+from phnrec_tpu.decoder.phnloop import PhnLoopSpec
 from phnrec_tpu.frontend import melbanks
 from phnrec_tpu.io import audio, htk
 from phnrec_tpu.io.labels import Label, MLFWriter, format_rec_line
@@ -131,8 +133,40 @@ class SpeechRec:
             self.stk_decoder.set_wpenalty(wpenalty)
 
     # ------------------------------------------------------------------
-    # stage functions
+    # stage functions.  Per-utterance (serial) calls pad T up to a
+    # 256-frame quantum so the jitted programs compile once per bucket
+    # instead of once per distinct utterance length (a file list of 1024
+    # unique lengths would otherwise re-lower 1024 times).
     # ------------------------------------------------------------------
+    _frame_quantum = 256
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _wave2par(self, wave_pad, t_pad: int):
+        par = self.frontend(wave_pad, t_pad)
+        return normalization.frame_norm(par, self.frame_shift,
+                                        self.frame_floor)
+
+    @partial(jax.jit, static_argnums=0)
+    def _par2post(self, par_pad, n_valid):
+        """[T_pad, nbanks] (rows >= n_valid replicate the last valid
+        row) -> softened posteriors; sentence statistics mask padding."""
+        sent = normalization.sentence_norm(par_pad, self.sent_norm,
+                                           n_valid=n_valid)
+        post = self.estimator.posteriors_batched(sent[None],
+                                                 n_valid[None])
+        return self.post_soft(post[0])
+
+    @partial(jax.jit, static_argnums=0)
+    def _post2segs(self, post_pad, n_valid):
+        from phnrec_tpu.decoder import phnloop
+        lp = self.dec_soft(post_pad)
+        hist = phnloop.viterbi_scan_batch(self.loop_spec, lp[None])
+        return phnloop.backtrack_device(self.loop_spec, hist,
+                                        n_valid[None])
+
+    def _pad_T(self, T: int) -> int:
+        return -(-max(T, 1) // self._frame_quantum) * self._frame_quantum
+
     def params_from_waveform(self, raw: bytes) -> np.ndarray:
         """wf -> par: [T, nbanks] log mel (frame-normalized, NOT
         sentence-normalized — matching ProcessOffline, where sentence norm
@@ -143,11 +177,14 @@ class SpeechRec:
                 raw, self.wave_format, scale=self.wave_scale,
                 dc_shift=self.wave_dc_shift, noise_level=self.wave_noise)
         T = self.frontend.frame_count(len(wave))
+        spec = self.frontend.spec
+        t_pad = self._pad_T(T)
+        span = (t_pad - 1) * spec.step + spec.vector_size
+        wave_pad = np.zeros(span, np.float32)
+        wave_pad[: min(len(wave), span)] = wave[:span]
         with TIMER.stage("mel_frontend"):
-            par = self.frontend(jnp.asarray(wave), T)
-            par = normalization.frame_norm(par, self.frame_shift,
-                                           self.frame_floor)
-            out = np.asarray(par)
+            out = np.asarray(self._wave2par(jnp.asarray(wave_pad),
+                                            t_pad))[:T]
         return out
 
     def posteriors_from_params(self, par: np.ndarray) -> np.ndarray:
@@ -160,25 +197,38 @@ class SpeechRec:
         n_p = self.frontend.n_params
         if par.shape[1] < n_p:
             raise ValueError("Invalid dimensionality of parameter vectors")
-        par = par[:, :n_p]  # truncate extra columns (srec.cpp:988-997)
+        par = np.asarray(par)[:, :n_p]  # truncate (srec.cpp:988-997)
+        T = par.shape[0]
+        t_pad = self._pad_T(T)
+        par_pad = np.concatenate(
+            [par, np.repeat(par[-1:], t_pad - T, axis=0)]) \
+            if t_pad > T else par
         from phnrec_tpu.utils.profiling import TIMER
         with TIMER.stage("posteriors"):
-            sentence = normalization.sentence_norm(jnp.asarray(par),
-                                                   self.sent_norm)
-            post = self.estimator.posteriors(sentence)
-            out = np.asarray(self.post_soft(post))
+            out = np.asarray(self._par2post(
+                jnp.asarray(par_pad), jnp.int32(T)))[:T]
         return out
 
     def decode_posteriors(self, post: np.ndarray) -> DecodeResult:
         """post -> str via the decoder softening + Viterbi."""
+        from phnrec_tpu.decoder import phnloop
         from phnrec_tpu.utils.profiling import TIMER
         with TIMER.stage("viterbi"):
-            lp = self.dec_soft(jnp.asarray(post))
             if self.stk_decoder is not None:
+                # the network decoder buckets T internally (_run_scan)
+                lp = self.dec_soft(jnp.asarray(post))
                 return DecodeResult(self.stk_decoder.decode(lp))
-            hist = viterbi_scan(self.loop_spec, lp)
+            post = np.asarray(post)
+            T = post.shape[0]
+            t_pad = self._pad_T(T)
+            post_pad = np.concatenate(
+                [post, np.repeat(post[-1:], t_pad - T, axis=0)]) \
+                if t_pad > T else post
+            segs = self._post2segs(jnp.asarray(post_pad), jnp.int32(T))
         with TIMER.stage("backtrack"):
-            return DecodeResult(backtrack(hist, self.phonemes))
+            segs = phnloop.fetch_segments(segs)
+            return DecodeResult(phnloop.labels_from_segments(
+                segs, np.asarray([T]), self.phonemes)[0])
 
     # ------------------------------------------------------------------
     # staged file processing (ProcessFile, srec.cpp:1113-1199)
@@ -271,14 +321,15 @@ class SpeechRec:
                 mlf.close()
 
     def _can_batch_list(self, inpf: str, outpf: str) -> bool:
-        """The bucketed batch pipeline covers the common production
-        shape: raw waveforms -> phoneme strings through the mel frontend
-        + estimator + phoneme-loop decoder.  Everything else (par/post
-        staged I/O, PLP, stkint/KWS, dithered sources) keeps the serial
-        per-file path, whose per-utterance jits recompile per length."""
+        """The bucketed batch pipeline covers the production shapes: raw
+        waveforms -> strings through the mel frontend + estimator, for
+        BOTH decoders — phnloop (device Viterbi + backtrack) and stkint
+        (batched posterior stack + NetworkDecoder.decode_batch /
+        per-row KWS).  Everything else (par/post staged I/O, PLP,
+        dithered sources) takes the serial per-file path, which buckets
+        its jits to a frame quantum."""
         return (inpf == "wf" and outpf == "str"
                 and self.traps_enabled and self.estimator is not None
-                and self.stk_decoder is None
                 and type(self.frontend) is melbanks.MelFrontend
                 and self.wave_noise == 0.0)
 
@@ -331,6 +382,16 @@ class SpeechRec:
                 self.frontend.frame_count(batch.wave.shape[1]))
             ns = (jnp.asarray(batch.n_samples)
                   if batch.wave.dtype == np.uint8 else None)
+            if self.stk_decoder is not None:
+                # stkint lists: batched posterior stack + the batched
+                # network decode (scan + device traceback per batch
+                # instead of the serial per-file loop, srec.cpp:1246)
+                lp = bp._post_core(jnp.asarray(batch.wave),
+                                   jnp.asarray(n_frames), max_frames, ns)
+                labels = self.stk_decoder.decode_batch(lp, n_frames)
+                for idx, labs in zip(batch.indices, labels):
+                    results[idx] = labs
+                continue
             segs = bp._core(jnp.asarray(batch.wave),
                             jnp.asarray(n_frames), max_frames, ns)
             fetched = phnloop.fetch_segments_start(segs)

@@ -97,11 +97,42 @@ def test_batched_filelist_rec_files(tmp_path):
             [(l.start_frames, l.end_frames, l.name) for l in serial]
 
 
-def test_stkint_list_keeps_serial_path(tmp_path):
-    """stkint packages must NOT take the batch route (its decoder path
-    differs); _can_batch_list gates it off."""
+def test_stkint_list_batched_matches_serial(tmp_path, monkeypatch):
+    """stkint wf->str lists route through the batched posterior stack +
+    NetworkDecoder.decode_batch (VERDICT r4 item 4); the MLF must be
+    byte-for-byte the serial per-file loop's."""
     from tests.test_stk_streaming import _stkint_package
 
     pkg = _stkint_package(tmp_path)
     sr = SpeechRec(pkg)
-    assert not sr._can_batch_list("wf", "str")
+    assert sr.stk_decoder is not None and sr._can_batch_list("wf", "str")
+    paths = _mk_corpus(tmp_path, "lin16")
+    lst = tmp_path / "list"
+    lst.write_text("\n".join(paths) + "\n")
+    sr.process_file_list("wf", "str", str(lst),
+                         mlf_path=str(tmp_path / "batched.mlf"))
+    monkeypatch.setattr(SpeechRec, "_can_batch_list",
+                        lambda self, i, o: False)
+    sr.process_file_list("wf", "str", str(lst),
+                         mlf_path=str(tmp_path / "serial.mlf"))
+    assert (tmp_path / "batched.mlf").read_bytes() == \
+        (tmp_path / "serial.mlf").read_bytes()
+
+
+def test_serial_stages_bucket_compiles(tmp_path):
+    """The serial per-file stages pad T to a 256-frame quantum: many
+    distinct utterance lengths inside one bucket share ONE compiled
+    program per stage (VERDICT r4 item 4: no per-length recompiles)."""
+    sr = SpeechRec(package_dir("cz"))
+    src = np.fromfile("/root/reference/test.raw", dtype="<i2")
+    before = (SpeechRec._wave2par._cache_size(),
+              SpeechRec._par2post._cache_size(),
+              SpeechRec._post2segs._cache_size())
+    for n in (4000, 4801, 5602, 7003, 9000, 12345, 15999, 20000):
+        raw = src[:n].astype("<i2").tobytes()
+        sr.process_offline("wf", "str", raw)
+    after = (SpeechRec._wave2par._cache_size(),
+             SpeechRec._par2post._cache_size(),
+             SpeechRec._post2segs._cache_size())
+    # lengths span 50..250 frames -> ONE bucket (256) per stage
+    assert all(a - b <= 1 for a, b in zip(after, before)), (before, after)
