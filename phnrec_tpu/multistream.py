@@ -223,11 +223,40 @@ class MultiStreamRecognizer:
             par = fe.log_mel_from_frames(frames)
             return normalization.frame_norm(par, frame_shift, frame_floor)
 
+        est = sr.estimator
+        if hasattr(est, "assembler") and n_streams >= 128:
+            # conv-based LCRC assembly (stc.py::batched): the per-stream
+            # window-gather post_fn would materialize a [N, F, 31, nb]
+            # context tensor (a 31x HBM blow-up that capped serving at
+            # ~19k aggregate au-s/s at 128+ streams; conv lifted 128
+            # streams 44%, measured round 5); below ~one lane tile the
+            # gather is smaller AND faster (grouped conv overhead), so
+            # the choice is stream-count dependent.  ctx rows [s, s+F)
+            # have full real context, so the assembler's edge
+            # replication never shows.
+            from phnrec_tpu.posteriors import mlp as _mlp
+
+            def _post_block(ctx):      # [N, 2s+F, nb] -> [N, F, n_out]
+                F = ctx.shape[1] - ts2
+                left, right = est.assembler.batched(ctx)
+                lo = _mlp.forward(est.band[0], left[:, s : s + F],
+                                  est.fast_exp)
+                ro = _mlp.forward(est.band[1], right[:, s : s + F],
+                                  est.fast_exp)
+                m = jnp.concatenate([lo, ro], axis=-1)
+                m = jnp.where(m > 0.0,
+                              jnp.log(jnp.maximum(m, 1e-37)), 0.0)
+                post = _mlp.forward(est.merger, m, est.fast_exp)
+                return sr.dec_soft(sr.post_soft(post))
+        else:
+            def _post_block(ctx):
+                return jax.vmap(post_fn)(ctx)
+
         def _decode_ctx(ctx, skip, carry, n_dec, n_valid, cap):
             """Shared tail of both fused programs: posterior rows from the
             per-stream context, rolled so each row's valid frames lead,
             then the subclass-selected masked decoder block."""
-            lp = jax.vmap(post_fn)(ctx)                 # [N, cap, n_out]
+            lp = _post_block(ctx)                       # [N, cap, n_out]
             idx = jnp.clip(skip[:, None] + jnp.arange(cap)[None, :],
                            0, cap - 1)
             lp = jnp.take_along_axis(lp, idx[:, :, None], axis=1)
@@ -377,9 +406,10 @@ class MultiStreamRecognizer:
 
         Scan unroll is lane-width dependent (docs/MLP_ROOFLINE.md):
         narrow stream counts amortize loop overhead ~1.6x at unroll=8,
-        but at >=2 full lane tiles the unrolled body spills and
-        regresses badly — so it adapts to the stream count."""
-        unroll = 8 if self.n <= 128 else 1
+        but from ONE full lane tile up the unrolled body spills and
+        regresses (round-5 sweep: 128 streams ran 0.74x of 64 with
+        unroll=8) — so it adapts to the stream count."""
+        unroll = 8 if self.n <= 64 else 1
         return phnloop.viterbi_block_ragged(self.sr.loop_spec, carry, lp,
                                             n_dec, n_valid, unroll)
 

@@ -43,6 +43,15 @@ def _key(labels):
             for l in labels]
 
 
+def _assert_hits_equal(got, want, tag=""):
+    """Times + names exact; scores to cross-path f32 summation noise
+    (the conv-based STC assembly reorders sums vs the gather path)."""
+    assert [(l.start_frames, l.end_frames, l.name) for l in got] == \
+        [(l.start_frames, l.end_frames, l.name) for l in want], tag
+    np.testing.assert_allclose([l.score for l in got],
+                               [l.score for l in want], atol=5e-3)
+
+
 def _single_hits(sr, stream, block):
     rec = StreamingRecognizer(sr, block_frames=block)
     rec.process(stream)
@@ -67,7 +76,7 @@ def test_multistream_kws_matches_single(kws_sr, raw_bytes):
     assert any(got), "no hits on any stream"
     for i, s in enumerate(streams):
         want = _single_hits(kws_sr, s, 32)
-        assert _key(got[i]) == _key(want), f"stream {i} diverged"
+        _assert_hits_equal(got[i], want, f"stream {i} diverged")
 
 
 def test_multistream_kws_live_polling(kws_sr, raw_bytes):
@@ -107,7 +116,7 @@ def test_multistream_kws_mesh(kws_sr, raw_bytes):
             m.process(i, raw_bytes)
     got, want = ms.finish(), ref.finish()
     for i in range(8):
-        assert _key(got[i]) == _key(want[i]), f"stream {i}"
+        _assert_hits_equal(got[i], want[i], f"stream {i}")
 
 
 def test_dense_scan_matches_edge_list(kws_sr, raw_bytes, monkeypatch):

@@ -227,3 +227,24 @@ def test_multistream_stk_dense_matches_edge_list(stk_sr, raw_bytes,
         assert _key(a[i]) == _key(b[i]), f"stream {i} diverged"
         np.testing.assert_allclose([l.score for l in a[i]],
                                    [l.score for l in b[i]], atol=1e-4)
+
+
+def test_multistream_stk_mesh(stk_sr, raw_bytes):
+    """stkint decode streams shard over an 8-device mesh (stream axis =
+    'data'), outputs unchanged."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    ms = MultiStreamStkDecode(stk_sr, n_streams=8, block_frames=32,
+                              mesh=mesh)
+    ref = MultiStreamStkDecode(stk_sr, n_streams=8, block_frames=32)
+    for m in (ms, ref):
+        for i in range(8):
+            m.process(i, raw_bytes)
+            m.end_stream(i)
+    got, want = ms.finish(), ref.finish()
+    for i in range(8):
+        assert _key(got[i]) == _key(want[i]), f"stream {i}"
+        np.testing.assert_allclose([l.score for l in got[i]],
+                                   [l.score for l in want[i]], atol=5e-3)
