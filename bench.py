@@ -138,12 +138,14 @@ def _device_staged_mixed(sr, bp, n_utts: int = 1024,
     assert got == _golden_segments(), "device-staged mixed decode lost " \
                                       "golden"
     gc.disable()
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        one_pass()
-        times.append(time.perf_counter() - t0)
-    gc.enable()
+    try:
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            one_pass()
+            times.append(time.perf_counter() - t0)
+    finally:
+        gc.enable()   # a raise here must not leave gc off for the hero
     dt = sorted(times)[len(times) // 2]
     return {
         "metric": "audio_sec_per_s_per_chip_mixed_device_staged",

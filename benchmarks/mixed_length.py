@@ -200,18 +200,21 @@ def run(n_utts: int = 1024, iters: int = 3) -> dict:
     h2d = {"lin16": [], "alaw": []}
     eff = {"lin16": [], "alaw": []}
     gc.disable()
-    # INTERLEAVED A/B passes so tunnel weather hits both formats alike;
-    # each pass bracketed by a same-dtype H2D probe for attribution
-    for it in range(iters):
-        for tag, sr, lst, audio_s, dtype in (
-                ("lin16", sr_l, lst_l, audio_l, np.int16),
-                ("alaw", sr_a, lst_a, audio_a, np.uint8)):
-            bw = probe_h2d(dtype)
-            dt = _one_pass(sr, lst, tag, it)
-            times[tag].append(audio_s / dt)
-            h2d[tag].append(bw)
-            eff[tag].append((audio_s / dt) / (bw * bound_per_bps[tag]))
-    gc.enable()
+    try:
+        # INTERLEAVED A/B passes so tunnel weather hits both formats
+        # alike; each pass bracketed by a same-dtype H2D probe
+        for it in range(iters):
+            for tag, sr, lst, audio_s, dtype in (
+                    ("lin16", sr_l, lst_l, audio_l, np.int16),
+                    ("alaw", sr_a, lst_a, audio_a, np.uint8)):
+                bw = probe_h2d(dtype)
+                dt = _one_pass(sr, lst, tag, it)
+                times[tag].append(audio_s / dt)
+                h2d[tag].append(bw)
+                eff[tag].append((audio_s / dt)
+                                / (bw * bound_per_bps[tag]))
+    finally:
+        gc.enable()
     check_lin16(f"/tmp/phnrec_mixed_lin16_{iters - 1}.mlf")
     check_alaw(f"/tmp/phnrec_mixed_alaw_{iters - 1}.mlf")
 

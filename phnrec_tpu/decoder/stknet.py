@@ -883,6 +883,22 @@ class DenseKWSScan:
         self.A_cm = jnp.asarray(A_cm)
         self.R_cm = jnp.asarray(R_cm)
         self.A_cs = jnp.asarray(A_cs)
+        # tie-parity invariant, checked at build: per destination, edge
+        # ids must ASCEND with source row (compile_network emits in-model
+        # edges entry-then-states-ascending per dst, and closure edges
+        # grouped by ascending source) — then jnp.argmax's lowest-row
+        # tie-break picks exactly the edge the edge-list reduction's
+        # lowest-edge-id rule records.  A network violating this would
+        # silently break dense/edge-list record parity, so fail loudly.
+        for name, tab in (("in", I_in), ("ex", I_ex), ("cm", I_cm),
+                          ("cs", I_cs)):
+            for d in range(tab.shape[1]):
+                ids = tab[tab[:, d] >= 0, d]
+                if not np.all(np.diff(ids) > 0):
+                    raise AssertionError(
+                        f"dense {name}-table edge ids not ascending with "
+                        f"source row for dst {d}: tie-breaking would "
+                        "diverge from the edge-list scan")
         self.I_in = jnp.asarray(I_in)
         self.I_ex = jnp.asarray(I_ex)
         self.I_cm = jnp.asarray(I_cm)

@@ -224,7 +224,8 @@ class MultiStreamRecognizer:
             return normalization.frame_norm(par, frame_shift, frame_floor)
 
         est = sr.estimator
-        if hasattr(est, "assembler") and n_streams >= 128:
+        if hasattr(est, "assembler") and \
+                n_streams >= self.conv_assembly_min_streams:
             # conv-based LCRC assembly (stc.py::batched): the per-stream
             # window-gather post_fn would materialize a [N, F, 31, nb]
             # context tensor (a 31x HBM blow-up that capped serving at
@@ -362,6 +363,11 @@ class MultiStreamRecognizer:
                 "MultiStreamRecognizer serves the phnloop decoder; for "
                 "stkint packages use MultiStreamStkDecode (decode mode) "
                 "or MultiStreamKWS (kws mode)")
+
+    # stream count from which the conv-based LCRC assembly replaces the
+    # window gather (measured crossover, round 5; class attribute so
+    # tests can force either path at small scale)
+    conv_assembly_min_streams = 128
 
     # -- shared InputXform delay-line carry (stkint subclasses) ----------
     # the reference applies the global <InputXform> per frame with live
@@ -508,6 +514,19 @@ class MultiStreamRecognizer:
         self._maybe_commit()
 
     # -- fixed-lag commit (commit_horizon mode) --------------------------
+    def _drop_committed_blocks(self) -> None:
+        """Drop leading history/record blocks once EVERY stream's rows in
+        them are committed (block 0 spans [row_offset_b,
+        row_offset_b + v0_b)) — shared by the device/host phnloop commits
+        and the stk record commit."""
+        while self._hist:
+            _, v0 = self._hist[0]
+            if np.all(self._row_offset + v0 <= self._frame0):
+                self._row_offset += v0.astype(np.int64)
+                self._hist.pop(0)
+            else:
+                break
+
     def _hist_to_host(self) -> None:
         """Materialize retained device history blocks on the host in ONE
         batched fetch (their device copies are then droppable)."""
@@ -628,13 +647,7 @@ class MultiStreamRecognizer:
             # window labels committed so far (delta telescoping)
             self._alpha0[b] = float(sum(l.score for l in commit))
             self._frame0[b] = commit[-1].end_frames
-        while self._hist:
-            _, v0 = self._hist[0]
-            if np.all(self._row_offset + v0 <= self._frame0):
-                self._row_offset += v0.astype(np.int64)
-                self._hist.pop(0)
-            else:
-                break
+        self._drop_committed_blocks()
         if self._alpha0.any():
             self._rebase_device(self._alpha0.astype(np.float32))
 
@@ -675,15 +688,7 @@ class MultiStreamRecognizer:
             self._alpha0[b] = float(np.asarray(hist_b.alpha)[
                 e - 1 - int(self._row_offset[b])])
             self._frame0[b] = e
-        # drop whole blocks once every stream's rows in them are
-        # committed (block 0 spans [row_offset_b, row_offset_b + v0_b))
-        while self._hist:
-            _, v0 = self._hist[0]
-            if np.all(self._row_offset + v0 <= self._frame0):
-                self._row_offset += v0.astype(np.int64)
-                self._hist.pop(0)
-            else:
-                break
+        self._drop_committed_blocks()
         self._rebase_alphas()
 
     def _rebase_alphas(self) -> None:
@@ -804,15 +809,21 @@ class MultiStreamRecognizer:
             return
         cnt, sx, sxx = jax.device_get(self._onorm_state)
         from phnrec_tpu.io.normfile import save_norm_file
-        chans = {}
+        # start from channels already known to the host estimator (e.g.
+        # loaded from this same file at init) so a re-save never drops
+        # them — the reference saves its full channel map (norm.cpp:309)
+        chans = {cid: (st["mean"], st["inv_std"])
+                 for cid, st in on.channels.items()}
         E = np.float32(self._on_E)
+        saved = 0
         for b in range(self.n):
             if int(cnt[b]) >= self._on_E:
                 mean = (sx[b] / E).astype(np.float32)
                 var = np.maximum(sxx[b] / E - mean * mean,
                                  np.float32(1e-20))
                 chans[b] = (mean, (1.0 / np.sqrt(var)).astype(np.float32))
-        if chans:
+                saved += 1
+        if saved:
             save_norm_file(on.file, chans)
 
     def results(self) -> List[List[Label]]:
@@ -1168,6 +1179,15 @@ class MultiStreamStkDecode(MultiStreamRecognizer):
                          else max(4 * dec.time_pruning, 4 * block_frames,
                                   512))
         self._walk_cache: dict = {}
+        # commit back-off: when a commit attempt settles nothing (e.g.
+        # the terminal sink is unreachable over a stretch), do not
+        # re-walk on every dispatch — each attempt on a GROWN window
+        # compiles a fresh program and fetches a longer edge row.  The
+        # next attempt waits until the window grows by another horizon
+        # (geometric progress bound on compiles + fetch traffic; memory
+        # still grows until a word settles, exactly like the
+        # single-stream _stk_commit, which cannot drop unemitted words)
+        self._next_commit_at = 0
         super().__init__(sr, n_streams, block_frames=block_frames,
                          auto_pump=auto_pump, mesh=mesh)
 
@@ -1338,25 +1358,99 @@ class MultiStreamStkDecode(MultiStreamRecognizer):
 
     def _maybe_commit(self) -> None:
         retained = int((self._n_dec - self._row_offset).max(initial=0))
-        if retained <= self._horizon:
+        if retained <= max(self._horizon, self._next_commit_at):
             return
         window = self._window_walk()
+        r = np.zeros(self.n, np.float32)
         for b in range(self.n):
             horizon = int(self._n_dec[b]) - self._dec.time_pruning
             commit = [l for l in window[b] if l.end_frames <= horizon]
             if not commit:
                 continue           # nothing settled yet; keep retaining
             self._stk_committed[b].extend(commit)
-            self._like0[b] += sum(l.score for l in commit)
+            r[b] = sum(l.score for l in commit)
             self._frame0[b] = commit[-1].end_frames
-        # drop record blocks every stream has committed past
-        while self._hist:
-            _, v0 = self._hist[0]
-            if np.all(self._row_offset + v0 <= self._frame0):
-                self._row_offset += v0.astype(np.int64)
-                self._hist.pop(0)
-            else:
-                break
+        self._drop_committed_blocks()
+        if r.any():
+            self._rebase_likes(r)
+        retained = int((self._n_dec - self._row_offset).max(initial=0))
+        # geometric back-off while nothing settles (see __init__ note)
+        self._next_commit_at = (retained + self._horizon
+                                if retained > self._horizon else 0)
+
+    def _rebase_likes(self, r: np.ndarray) -> None:
+        """Subtract each stream's newly committed like from its carried
+        network scores and retained record values (the recurrence is
+        shift-invariant) — cumulative float32 path likes stay bounded by
+        the window like over multi-day serving sessions, mirroring the
+        phnloop _rebase_alphas guarantee.  After the shift the committed
+        boundary's cumulative like is exactly 0, so ``_like0`` (the walk
+        seed) stays 0 and label deltas are unchanged."""
+        from phnrec_tpu.decoder.stknet import NEG
+        if not self._hist or isinstance(self._hist[0][0]["entry_val"],
+                                        np.ndarray):
+            for rec, _ in self._hist:
+                for k in ("entry_val", "sink_val"):
+                    a = rec[k]
+                    np.subtract(a, r.reshape((self.n,) + (1,) *
+                                             (a.ndim - 1)),
+                                out=a, where=a > NEG / 2)
+            self._rebase_carry_host(r)
+            return
+        key = ("rebase", len(self._hist))
+        prog = self._walk_cache.get(key)
+        if prog is None:
+            dense = self._dense is not None
+
+            @jax.jit
+            def prog(blocks, carry, rr):
+                def shift(a, axes):
+                    rv = rr.reshape((self.n,) + (1,) * axes)
+                    return jnp.where(a > NEG / 2, a - rv, a)
+
+                blocks = tuple(
+                    dict(b, entry_val=shift(b["entry_val"], 2),
+                         sink_val=shift(b["sink_val"], 2))
+                    for b in blocks)
+                stk, beam, xst = carry
+                if dense:
+                    alpha, entry, entry_edge = stk
+                    stk = (shift(alpha, 1), shift(entry, 1), entry_edge)
+                else:
+                    alpha, wt, entry, entry_edge, entry_wt = stk
+                    stk = (shift(alpha, 1), wt, shift(entry, 1),
+                           entry_edge, entry_wt)
+                return blocks, (stk, beam, xst)
+
+            self._walk_cache[key] = prog
+        blocks, self._carry = prog(tuple(h for h, _ in self._hist),
+                                   self._carry, jnp.asarray(r))
+        self._hist = [(b, v) for b, (_, v) in zip(blocks, self._hist)]
+
+    def _rebase_carry_host(self, r: np.ndarray) -> None:
+        """Carry rebase for the host-fallback path (one jitted where)."""
+        from phnrec_tpu.decoder.stknet import NEG
+        prog = self._walk_cache.get("rebase_carry")
+        if prog is None:
+            dense = self._dense is not None
+
+            @jax.jit
+            def prog(carry, rr):
+                def shift(a):
+                    return jnp.where(a > NEG / 2, a - rr[:, None], a)
+
+                stk, beam, xst = carry
+                if dense:
+                    alpha, entry, entry_edge = stk
+                    stk = (shift(alpha), shift(entry), entry_edge)
+                else:
+                    alpha, wt, entry, entry_edge, entry_wt = stk
+                    stk = (shift(alpha), wt, shift(entry), entry_edge,
+                           entry_wt)
+                return (stk, beam, xst)
+
+            self._walk_cache["rebase_carry"] = prog
+        self._carry = prog(self._carry, jnp.asarray(r))
 
     # -- results ---------------------------------------------------------
     def results(self, settled_only: bool = False) -> List[List[Label]]:

@@ -226,7 +226,11 @@ class SpeechRec:
                 if t_pad > T else post
             segs = self._post2segs(jnp.asarray(post_pad), jnp.int32(T))
         with TIMER.stage("backtrack"):
-            segs = phnloop.fetch_segments(segs)
+            # size the slice from T so long utterances never overflow
+            # into a second (full-width) blocking refetch round trip
+            cap = min(T // self.loop_spec.n_states + 1,
+                      segs.phn.shape[1])
+            segs = phnloop.fetch_segments(segs, cap=max(cap, 1))
             return DecodeResult(phnloop.labels_from_segments(
                 segs, np.asarray([T]), self.phonemes)[0])
 
@@ -368,10 +372,12 @@ class SpeechRec:
             for idx, labs in zip(batch.indices, labels):
                 results[idx] = labs
 
-        # keep TWO batches in flight: each finish() blocks the host on a
-        # D2H round trip whose latency (~90 ms over the dev tunnel) would
-        # otherwise serialize against the next batch's H2D — with depth 2
-        # the fetch latency rides under two batches' transfers+compute
+        # keep two batches pending after each admission (a third is held
+        # transiently between append and finish): each finish() blocks
+        # the host on a D2H round trip whose latency (~90 ms over the
+        # dev tunnel) would otherwise serialize against the next batch's
+        # H2D — pending fetches ride under later batches'
+        # transfers+compute
         inflight: list = []
         for batch in loader:
             self.log_fn("".join(

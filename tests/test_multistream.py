@@ -283,3 +283,24 @@ def test_commit_device_path_no_host_fetch_and_cache_stable(sr_en,
     want = full.finish()
     for i in range(8):
         assert _key(got[i]) == _key(want[i]), f"stream {i} diverged"
+
+
+def test_conv_assembly_path_matches_single(sr_en, raw_bytes,
+                                           monkeypatch):
+    """The conv-based LCRC assembly (used from 128 streams up in
+    production) must produce the single-stream recognizer's labels —
+    forced on at small scale via the class threshold so the >=128
+    regime's numeric path is covered by the parity suite."""
+    monkeypatch.setattr(MultiStreamRecognizer,
+                        "conv_assembly_min_streams", 2)
+    streams = _streams(raw_bytes, 3)
+    ms = MultiStreamRecognizer(sr_en, n_streams=3, block_frames=64)
+    for i, s in enumerate(streams):
+        ms.process(i, s)
+        ms.end_stream(i)
+    got = ms.finish()
+    for i, s in enumerate(streams):
+        want = _single_stream_labels(sr_en, s, 64)
+        assert _key(got[i]) == _key(want), f"stream {i} diverged"
+        for a, b in zip(got[i], want):
+            assert a.score == pytest.approx(b.score, abs=5e-3)

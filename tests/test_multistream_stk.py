@@ -248,3 +248,33 @@ def test_multistream_stk_mesh(stk_sr, raw_bytes):
         assert _key(got[i]) == _key(want[i]), f"stream {i}"
         np.testing.assert_allclose([l.score for l in got[i]],
                                    [l.score for l in want[i]], atol=5e-3)
+
+
+def test_stk_commit_backoff_when_nothing_settles(stk_sr, raw_bytes):
+    """When no label settles, commit attempts must back off
+    geometrically (each attempt on a grown window compiles a fresh walk
+    program and fetches a longer edge row) instead of re-walking every
+    dispatch; outputs stay exact once walking resumes."""
+    ms = MultiStreamStkDecode(stk_sr, n_streams=2, block_frames=32,
+                              record_horizon=64)
+    calls = [0]
+    orig = ms._window_walk
+
+    def stub():
+        calls[0] += 1
+        return [[] for _ in range(ms.n)]
+
+    ms._window_walk = stub
+    for s in range(0, len(raw_bytes), 4096):
+        for i in range(2):
+            ms.process(i, raw_bytes[s : s + 4096])
+    # ~90 blocks dispatched; without back-off every retained>horizon
+    # dispatch walks (dozens); geometric back-off bounds it
+    assert 1 <= calls[0] <= 6, calls[0]
+    ms._window_walk = orig
+    for i in range(2):
+        ms.end_stream(i)
+    got = ms.finish()
+    want = _single(stk_sr, raw_bytes)
+    for i in range(2):
+        assert _key(got[i]) == _key(want)
