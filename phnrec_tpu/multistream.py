@@ -944,9 +944,24 @@ class MultiStreamKWS(MultiStreamRecognizer):
         # PHNREC_TPU_DENSE_KWS=0 (or very large networks).
         import os
         self._dense = None
+        self._pallas_net = None
         if os.environ.get("PHNREC_TPU_DENSE_KWS", "1") != "0" and \
                 c.n_models + c.n_states <= 1024:
             self._dense = DenseKWSScan(dec.decoder)
+            # fused Pallas network-block kernel (ops/pallas_netstep.py):
+            # the whole frame loop runs in VMEM — 89x the XLA dense
+            # step's measured rate (729 -> 8 us/frame-step at 256
+            # streams).  Builds only for uniform-S left-to-right
+            # networks (every netgen/kwsnetg output); irregular nets and
+            # PHNREC_TPU_PALLAS_NET=0 fall back to the XLA dense scan.
+            if os.environ.get("PHNREC_TPU_PALLAS_NET", "1") != "0":
+                import jax as _jax
+
+                from phnrec_tpu.ops.pallas_netstep import \
+                    build_net_block_fn
+                self._pallas_net = build_net_block_fn(
+                    self._dense, n_streams,
+                    interpret=_jax.default_backend() == "cpu")
         self._hits_emitted = [0] * n_streams
         # per-stream Label lists, built INCREMENTALLY as event blocks
         # are fetched (decoded device blocks are dropped — a long-lived
@@ -996,18 +1011,6 @@ class MultiStreamKWS(MultiStreamRecognizer):
         dec = self._dec.decoder
         xst, lp = self._apply_xform(carry[3], lp, n_valid)
         obs_state = jax.vmap(dec.state_observations)(lp)   # [N, F, E]
-        if self._dense is not None:
-            return self._decode_block_dense(carry[:3] + (xst,), obs_state,
-                                            n_dec, n_valid)
-        stk_c, trk, beam = carry[:3]
-
-        def net_one(c, o, t0, nv, bm):
-            # scan_block's n_valid is the ABSOLUTE frame bound
-            return dec.scan_block(c, o, t0, t0 + nv, bm)
-
-        stk_c, recs = jax.vmap(net_one)(stk_c, obs_state, n_dec, n_valid,
-                                        beam)
-        sink_val, sink_wt = recs["sink_val"], recs["sink_wt"]
         ws, fs = self._kws_ws, self._kws_fs
         step = self._trk_step
 
@@ -1020,9 +1023,82 @@ class MultiStreamKWS(MultiStreamRecognizer):
                 (sv[:, ws], sv[:, fs], sw[:, ws].astype(jnp.int32),
                  tt, live))
 
-        trk, events = jax.vmap(trk_one)(trk, sink_val, sink_wt,
-                                        n_dec, n_valid)
-        return (stk_c, trk, beam, xst), events
+        if self._pallas_net is not None:
+            # fused VMEM-resident network block (ops/pallas_netstep.py);
+            # the LRTrace lanes stay a vmapped scan over the emitted
+            # sink records
+            stk_c, trk, beam = carry[:3]
+            obs_fm = jnp.transpose(obs_state, (1, 0, 2))   # [F, N, E]
+            stk_c, (sv, sw) = self._pallas_net(stk_c, obs_fm, n_valid,
+                                               n_dec, beam)
+            trk, events = jax.vmap(trk_one)(
+                trk, jnp.transpose(sv, (1, 0, 2)),
+                jnp.transpose(sw, (1, 0, 2)), n_dec, n_valid)
+            carry = (stk_c, trk, beam, xst)
+        elif self._dense is not None:
+            carry, events = self._decode_block_dense(
+                carry[:3] + (xst,), obs_state, n_dec, n_valid)
+        else:
+            stk_c, trk, beam = carry[:3]
+
+            def net_one(c, o, t0, nv, bm):
+                # scan_block's n_valid is the ABSOLUTE frame bound
+                return dec.scan_block(c, o, t0, t0 + nv, bm)
+
+            stk_c, recs = jax.vmap(net_one)(stk_c, obs_state, n_dec,
+                                            n_valid, beam)
+            trk, events = jax.vmap(trk_one)(trk, recs["sink_val"],
+                                            recs["sink_wt"], n_dec,
+                                            n_valid)
+            carry = (stk_c, trk, beam, xst)
+        return carry, self._compact_events(events)
+
+    def _compact_events(self, events):
+        """Scatter the block's flush events into a small per-stream ring
+        (device-side): the dense per-frame event records are
+        ~56 bytes/frame/stream, which at serving scale makes the
+        results() fetch link-bound (256 streams x 2 min ~ 170 MB); real
+        hits are sparse, so a ring of H slots (+1 dump slot) captures
+        them in ~1/40 the bytes.  Rows fill in flat (frame, slot,
+        keyword) order — the reference callback order — so the ring IS
+        the emission sequence; overflowing streams (count > H) fall
+        back to fetching the dense block, which is kept alongside."""
+        rec1, rec2 = events
+        N = self.n
+        F = rec1["emit"].shape[1]
+        Kw = len(self._keywords)
+        # generous ring: 1 hit per 2 frames per stream averaged across
+        # keywords/slots (the noise-fed bench emits ~0.1/frame; real
+        # speech orders less) — still ~7x smaller than the dense
+        # records, and overflow falls back to them
+        H = max(64, F // 4)
+        L = F * 2 * Kw
+
+        def stk(name):
+            return jnp.stack([rec1[name], rec2[name]], axis=2)
+
+        em = stk("emit")                       # [N, F, 2, Kw]
+        flat = em.reshape(N, L)
+        pos = jnp.cumsum(flat.astype(jnp.int32), axis=1) - 1
+        idx = jnp.where(flat & (pos < H), pos, H)
+        b_idx = jnp.arange(N)[:, None]
+
+        def ring_of(vals, dt):
+            z = jnp.zeros((N, H + 1), dt)
+            return z.at[b_idx, idx].set(vals.reshape(N, L).astype(dt))
+
+        slot_i = jax.lax.broadcasted_iota(jnp.int32, em.shape, 2)
+        k_i = jax.lax.broadcasted_iota(jnp.int32, em.shape, 3)
+        kid = (slot_i * Kw + k_i) * 2 \
+            + stk("new_estim").astype(jnp.int32)
+        return {
+            "count": jnp.sum(flat, axis=1, dtype=jnp.int32),
+            "start": ring_of(stk("start"), jnp.int32),
+            "end": ring_of(stk("end"), jnp.int32),
+            "score": ring_of(stk("score"), jnp.float32),
+            "kid": ring_of(kid, jnp.int32),
+            "dense": (rec1, rec2),
+        }
 
     def _decode_block_dense(self, carry, obs_state, n_dec, n_valid):
         """Fused dense max-plus network step + LRTrace update in ONE
@@ -1056,12 +1132,15 @@ class MultiStreamKWS(MultiStreamRecognizer):
             lambda a: jnp.transpose(a, (1, 0, 2)), events)
 
     def _compact_scan(self, hists, skip0, K: int, N: int):
-        # flush events need no gather (dead frames emit nothing); merge
-        # the scanned block axis into the frame axis: [K, N, F, Kw] ->
-        # [N, K*F, Kw]
-        return jax.tree_util.tree_map(
+        # per-scan-step compact rings keep their block axis (each
+        # sub-ring has its own count); the dense fallback blocks merge
+        # on the frame axis (dead frames emit nothing, so no gather)
+        out = {k: jnp.moveaxis(hists[k], 0, 1)
+               for k in ("count", "start", "end", "score", "kid")}
+        out["dense"] = jax.tree_util.tree_map(
             lambda a: jnp.transpose(a, (1, 0, 2, 3)).reshape(
-                N, -1, a.shape[3]), hists)
+                N, -1, a.shape[3]), hists["dense"])
+        return out
 
     # -- results ---------------------------------------------------------
     def _sync(self) -> None:
@@ -1069,22 +1148,70 @@ class MultiStreamKWS(MultiStreamRecognizer):
         Label lists, then DROP them (decoded blocks are never re-read —
         a long-lived serving session must not accumulate device or host
         copies), and append the final candidate flush once after
-        finish()."""
+        finish().  Only the compact hit rings are fetched; a stream
+        whose ring overflowed (count > H) falls back to fetching that
+        block's dense records."""
         from phnrec_tpu.decoder.stknet import (
             decode_lrtrace_events, flush_outstanding_candidates)
 
         if self._hist:
-            # ONE batched fetch of the not-yet-decoded event blocks
-            fetched = jax.device_get([h for h, _ in self._hist])
+            # ONE batched fetch of the compact rings + counts
+            fetched = jax.device_get(
+                [{k: h[k] for k in ("count", "start", "end", "score",
+                                    "kid")}
+                 for h, _ in self._hist])
+            denses = [h["dense"] for h, _ in self._hist]
             self._hist = []
-            for rec1, rec2 in fetched:
+            Kw = len(self._keywords)
+            for comp, dense in zip(fetched, denses):
+                cnt = np.asarray(comp["count"])
+                multi = cnt.ndim == 2      # scanned dispatch: [N, Kb]
+                if not multi:
+                    cnt = cnt[:, None]
+                Kb = cnt.shape[1]
+                rings = {k: np.asarray(comp[k])
+                         for k in ("start", "end", "score", "kid")}
+                if not multi:
+                    rings = {k: v[:, None] for k, v in rings.items()}
+                H = rings["start"].shape[2] - 1
+                dense_np = (jax.device_get(dense) if (cnt > H).any()
+                            else None)
+                # vectorized ring decode: one nonzero over [N, Kb, H]
+                # (row-major = stream, block, emission order) + bulk
+                # .tolist() — a per-element Python loop at serving hit
+                # volumes (~100k+/session) dominates finish() otherwise.
+                # A stream with ANY overflowed sub-ring decodes fully
+                # from the dense records instead (keeps emission order
+                # and avoids ring/dense duplication).
+                ok_b = ~(cnt > H).any(axis=1)
+                mask = ((np.arange(H)[None, None, :]
+                         < np.minimum(cnt, H)[:, :, None])
+                        & ok_b[:, None, None])
+                bb, jj, rr = np.nonzero(mask)
+                starts = rings["start"][bb, jj, rr].tolist()
+                ends = rings["end"][bb, jj, rr].tolist()
+                scores = rings["score"][bb, jj, rr].astype(
+                    np.float64).tolist()
+                kids = rings["kid"][bb, jj, rr].tolist()
+                names = [self._keywords[(k >> 1) % Kw] for k in kids]
+                bounds = np.searchsorted(bb, np.arange(self.n + 1))
                 for b in range(self.n):
+                    lo, hi = bounds[b], bounds[b + 1]
+                    if lo != hi:
+                        self._labels[b].extend(map(
+                            Label, starts[lo:hi], ends[lo:hi],
+                            names[lo:hi], scores[lo:hi]))
+                for b in np.nonzero(~ok_b)[0]:
+                    # rare: some sub-ring overflowed -> decode this
+                    # stream's whole dispatch from the dense records
+                    rec1, rec2 = dense_np
+                    sub = tuple(
+                        {k2: np.asarray(v)[b] for k2, v in rec.items()}
+                        for rec in (rec1, rec2))
                     self._labels[b].extend(
                         Label(h.start, h.end, h.word, h.score)
                         for h in decode_lrtrace_events(
-                            (jax.tree_util.tree_map(lambda a: a[b], rec1),
-                             jax.tree_util.tree_map(lambda a: a[b], rec2)),
-                            self._keywords))
+                            sub, self._keywords))
         if self._flushed and not self._final_done:
             # StkInterface::Done: flush outstanding candidates from the
             # final tracker state, per stream in keyword order
